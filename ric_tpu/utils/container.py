@@ -1,0 +1,77 @@
+"""RTP1 container format.
+
+The reference writes magic "RUD2" + u16 dims + a packed 1-byte header
+(ric.cpp:114-121,150-154) and a single serial mux stream. This container
+carries the same logical fields in its own format plus what the parallel
+design needs: 32-bit dims (no 65535 limit), per-channel substream byte
+lengths so channels/tiles decode independently, corruption is localizable,
+and streams stitch deterministically across a device mesh (SURVEY.md §5).
+
+Layout (little-endian):
+  0   4s  magic "RTP1"
+  4   u8  version (1)
+  5   u8  flags: bit0 color, bits1-2 transform, bit3 16-bit depth
+  6   u8  quant (0 = lossless)
+  7   u8  levels
+  8   u32 width
+  12  u32 height
+  16  u16 tiles_x, u16 tiles_y  (1,1 = untiled)
+  20  u32 x nstreams  byte length of each substream
+  then the substreams, each padded to a 4-byte boundary.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from ric_tpu.config import CodecConfig, Transform
+
+MAGIC = b"RTP1"
+VERSION = 1
+
+
+class BadMagic(ValueError):
+    pass
+
+
+def write_container(cfg: CodecConfig, streams: list[bytes],
+                    tiles: tuple[int, int] = (1, 1)) -> bytes:
+    flags = (1 if cfg.channels == 3 else 0)
+    flags |= (int(cfg.transform) & 3) << 1
+    flags |= (1 if cfg.input_depth == 16 else 0) << 3
+    head = struct.pack(
+        "<4sBBBBIIHH",
+        MAGIC, VERSION, flags, cfg.quant, cfg.levels,
+        cfg.width, cfg.height, tiles[0], tiles[1],
+    )
+    lens = struct.pack(f"<{len(streams)}I", *[len(s) for s in streams])
+    body = b"".join(s + b"\x00" * ((-len(s)) % 4) for s in streams)
+    return head + lens + body
+
+
+def read_container(data: bytes):
+    """Returns (cfg, streams, tiles)."""
+    if data[:4] != MAGIC:
+        raise BadMagic("bad magic (expected RTP1)")
+    (_, version, flags, quant, levels, width, height, tx, ty) = struct.unpack(
+        "<4sBBBBIIHH", data[:20]
+    )
+    if version != VERSION:
+        raise ValueError(f"unsupported version {version}")
+    channels = 3 if (flags & 1) else 1
+    cfg = CodecConfig(
+        width=width, height=height, channels=channels, quant=quant,
+        transform=Transform((flags >> 1) & 3), levels=levels,
+        input_depth=16 if (flags >> 3) & 1 else 8,
+    )
+    nstreams = channels * tx * ty
+    off = 20
+    lens = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
+    off += 4 * nstreams
+    streams = []
+    for ln in lens:
+        streams.append(data[off : off + ln])
+        off += ln + ((-ln) % 4)
+    return cfg, streams, (tx, ty)

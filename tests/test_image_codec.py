@@ -1,0 +1,53 @@
+"""End-to-end codec tests: lossless bit-exactness, lossy sanity, container."""
+import numpy as np
+import pytest
+
+from ric_tpu.config import CodecConfig, Transform
+from ric_tpu.models import image_codec
+
+
+def _synthetic(rng, h, w, smooth=True):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 128 + 60 * np.sin(xx / 19.0) * np.cos(yy / 13.0)
+    img = img + rng.normal(0, 6, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("t", [Transform.CDF53, Transform.CDF97, Transform.HAAR])
+def test_lossless_roundtrip_gray(rng, t):
+    img = _synthetic(rng, 64, 64)
+    cfg = CodecConfig(width=64, height=64, quant=0, transform=t, levels=5)
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_lossless_roundtrip_odd_dims(rng):
+    img = _synthetic(rng, 61, 47)
+    cfg = CodecConfig(width=47, height=61, quant=0)
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_lossless_roundtrip_color(rng):
+    img = np.stack([_synthetic(rng, 48, 64) for _ in range(3)], axis=-1)
+    cfg = CodecConfig(width=64, height=48, channels=3, quant=0)
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_lossy_quality(rng):
+    img = _synthetic(rng, 64, 64)
+    cfg = CodecConfig(width=64, height=64, quant=9, transform=Transform.CDF97)
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    bpp = len(data) * 8 / (64 * 64)
+    assert psnr > 30.0, f"PSNR too low: {psnr:.2f} dB at {bpp:.2f} bpp"
+    # stronger quantization must shrink the stream
+    cfg2 = CodecConfig(width=64, height=64, quant=20, transform=Transform.CDF97)
+    data2 = image_codec.encode_image(img, cfg2)
+    assert len(data2) < len(data)
