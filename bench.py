@@ -1,0 +1,71 @@
+"""Headline benchmark: lossless encode+decode round-trip throughput.
+
+Config matches BASELINE.md row 1/2: 4096x4096 grayscale, cdf53, q=0,
+synthetic gradient+noise content, one chip. The reference measured
+24.2 Mpix/s encode and 22.2 Mpix/s decode on its hardware => combined
+round-trip throughput 1/(1/24.2+1/22.2) = 11.58 Mpix/s, which is the
+vs_baseline denominator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from ric_tpu.config import CodecConfig, Transform
+from ric_tpu.models import image_codec
+
+BASELINE_COMBINED_MPIX_S = 1.0 / (1.0 / 24.2 + 1.0 / 22.2)
+N = 4096
+
+
+def synthetic(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = (
+        96
+        + 80 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+        + 24 * np.sin((xx + yy) / 11.0)
+        + rng.normal(0, 4, size=(h, w))
+    )
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main():
+    img = synthetic(N, N)
+    cfg = CodecConfig(width=N, height=N, quant=0, transform=Transform.CDF53)
+
+    # warm up compile caches + correctness check
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    exact = np.array_equal(out, img.astype(np.int32))
+    if not exact:
+        print(json.dumps({"metric": "lossless_roundtrip_failed", "value": 0,
+                          "unit": "", "vs_baseline": 0.0}))
+        sys.exit(1)
+
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        data = image_codec.encode_image(img, cfg)
+        out = image_codec.decode_image(data)
+    dt = (time.perf_counter() - t0) / reps
+    mpix_s = (N * N) / dt / 1e6
+    print(json.dumps({
+        "metric": "lossless_encdec_throughput",
+        "value": round(mpix_s, 2),
+        "unit": "Mpix/s",
+        "vs_baseline": round(mpix_s / BASELINE_COMBINED_MPIX_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
