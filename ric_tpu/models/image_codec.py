@@ -4,28 +4,28 @@ reference CompressImage/DecompressImage + CWavelet2D::CodeBand/DecodeBand
 
 Encode pipeline (one fused jit per plane):
   DWT (ops/lifting) -> per-band TSUQ + R/D kill (ops/blocks) -> zerotree
-  subtree counts -> section fields -> one global prefix-sum bit pack
-  (ops/bitpack).
+  subtree counts -> entropy sections -> interleaved-lane rANS (ops/rans)
+  for the model-coded symbols + one global prefix-sum bit pack
+  (ops/bitpack) for the raw fields.
 
-Decode is the mirror: per-band sections are unpacked with offsets derived
-from previously decoded fixed-width sections — a fully parallel decoder,
-unlike the reference's bit-serial range/VLC decode (SURVEY.md §7 hard
-part #1).
+Decode mirrors it: section offsets/masks derive from previously decoded
+sections, so decode is parallel across blocks/lanes — unlike the
+reference's bit-serial range/VLC decode (SURVEY.md §7 hard part #1).
 
-Stream layout per plane (coarse -> fine so zerotree parents decode first):
-  [LL residual band] then per level (coarsest..finest): V, H, D.
-Per band, sections in order:
-  z     1 bit per alive block: 1 = insignificant (whole subtree zero)
-  k_hi  phase-in hi part of k (low bands: N=17; finest bands code k-1, N=16)
-  k_ex  optional 1-bit phase-in extension
-  p_hi  C(16,k) enumerative pattern rank, phase-in hi part (len from k)
-  p_ex  optional 1-bit extension
-  m     5-bit block magnitude bitlength m = bitlen(max(mag-1))
-  mag   per significant coeff: ((mag-1) << 1 | sign) in m+1 bits
+Per plane the container carries TWO substreams:
+  A (raw bits):  per band: pattern-rank phase-in hi, 1-bit extensions,
+                 magnitude refinement+sign fields
+  B (rANS):      L lane states then 16-bit renorm words; symbols per band:
+                 z (zerotree bit, ctx = parent 2x2 max bitlen),
+                 k (count, ctx same; finest bands code k-1),
+                 s (coeff size class bitlen(mag-1), ctx = min(k-1,15))
+
+Band order (coarse -> fine so zerotree parents decode first):
+  [LL residual] then per level (coarsest..finest): V, H, D.
 
 The LL band is delta-coded with the separable 2-D gradient
 r = x - left - up + upleft (the reference's interior DPCM predictor,
-bandcodec.cpp:90-101) — whose inverse is a 2-D cumulative sum, so both
+bandcodec.cpp:90-101) whose inverse is a 2-D cumulative sum, so both
 directions are parallel; the reference's serial adaptive-context geometric
 coder is replaced by the same block machinery over the residual.
 """
@@ -38,15 +38,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ric_tpu.config import CodecConfig, Transform, BLK_SIZE
-from ric_tpu.ops import bitpack, blocks, enumcode, lifting
+from ric_tpu.config import CodecConfig, Transform, BLK_SIZE, SHIFT
+from ric_tpu.ops import bitpack, blocks, enumcode, lifting, rans
 from ric_tpu.ops import quant as qops
+from ric_tpu.models import tables as tbl
 from ric_tpu.utils.bits import bitlen, s2u_, u2s_
-
-# phase-in parameters for k alphabets
-_KL_LOW, _KTH_LOW = enumcode.phase_in_params(17)   # k in [0,16]
-_KL_HIGH, _KTH_HIGH = enumcode.phase_in_params(16)  # k-1 in [0,15]
-_MBITS = 5  # block magnitude-bitlength field width
+from ric_tpu.utils import container
 
 _POW2_15 = 1 << (15 - np.arange(16))
 
@@ -103,12 +100,29 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
     return plans, dims
 
 
-def _cap_words(plans) -> int:
+def _lanes(cfg: CodecConfig) -> int:
+    """Lane count trades VPU width against the fixed 4-byte/lane state
+    flush: 128 lanes (512 B) for small images up to 4096 lanes for >=16 Mpix."""
+    npix = cfg.width * cfg.height
+    l = 1 << max(7, (npix >> 11).bit_length())
+    return min(4096, l)
+
+
+def _cap_words_raw(plans) -> int:
     bits = 0
     for p in plans:
         nblk = p.grid[0] * p.grid[1]
-        bits += nblk * (1 + 5 + 1 + 14 + 1 + _MBITS) + nblk * 16 * 32
+        bits += nblk * (15 + 16 * 32)
     return bits // 32 + 8
+
+
+def _cap_words_rans(plans, L) -> int:
+    slots = 0
+    for p in plans:
+        nblk = p.grid[0] * p.grid[1]
+        for nmax in (nblk, nblk, nblk * 16):
+            slots += -(-nmax // L) * L
+    return (L * 32 + slots * 16) // 32 + 8
 
 
 def _grad2d(x):
@@ -120,81 +134,58 @@ def _cumsum2d(r):
     return jnp.cumsum(jnp.cumsum(r, axis=0), axis=1)
 
 
-def _block_fields(u_blk, k, sig, kind):
-    """Emit the per-band field (vals, lens) lists past the z section.
-
-    u_blk: (nby, nbx, 16) s2u_ values; k: (nby, nbx) counts; sig: coded mask.
-    """
-    vals, lens = [], []
-    sig_i = sig.astype(jnp.int32)
-
-    # k section (phase-in)
-    if kind == "high":
-        kl, kth = _KL_HIGH, _KTH_HIGH
-        kval = k - 1
-    else:
-        kl, kth = _KL_LOW, _KTH_LOW
-        kval = k
-    hi, _, ex, exl = enumcode.phase_in_encode(kval, kl, kth)
-    vals += [hi.ravel(), ex.ravel()]
-    lens += [(sig_i * kl).ravel(), (sig_i * exl).ravel()]
-
-    # pattern section
+def _pattern_of(u_blk):
     bits = (u_blk != 0).astype(jnp.int32)
-    pattern = jnp.sum(bits * jnp.asarray(_POW2_15, jnp.int32), axis=-1)
-    rank = enumcode.pattern_rank(pattern, k)
-    pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
-    pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
-    plong = (rank >= pth).astype(jnp.int32)
-    phi = jnp.where(plong == 1, (rank + pth) >> 1, rank)
-    pex = jnp.where(plong == 1, (rank + pth) & 1, 0)
-    vals += [phi.ravel(), pex.ravel()]
-    lens += [(sig_i * pl).ravel(), (sig_i * plong).ravel()]
+    return jnp.sum(bits * jnp.asarray(_POW2_15, jnp.int32), axis=-1)
 
-    # m section
+
+def _coeff_size_fields(u_blk, k):
+    """Per-coeff size class s = bitlen(mag-1), raw field ((ref<<1)|sign) of
+    max(s,1) bits, and the s-table context min(k-1,15)."""
+    active = u_blk != 0
     mag1 = jnp.maximum((u_blk >> 1) - 1, 0)
-    m = bitlen(jnp.max(jnp.where(u_blk != 0, mag1, 0), axis=-1))
-    has_mag = sig & (k > 0)
-    vals.append(m.ravel())
-    lens.append((has_mag.astype(jnp.int32) * _MBITS).ravel())
-
-    # magnitude+sign section
-    active = (u_blk != 0) & has_mag[..., None]
-    mfield = (mag1 << 1) | (u_blk & 1)
-    vals.append(mfield.ravel())
-    lens.append((active.astype(jnp.int32) * (m[..., None] + 1)).ravel())
-    return vals, lens
+    s = bitlen(mag1)
+    refv = mag1 - jnp.where(s > 0, jnp.int32(1) << jnp.maximum(s - 1, 0), 0)
+    field = jnp.where(s > 0, (refv << 1) | (u_blk & 1), u_blk & 1)
+    flen = jnp.where(active, jnp.maximum(s, 1), 0)
+    ctx = jnp.clip(k - 1, 0, 15)
+    return active, s, field, flen, ctx
 
 
-def build_encode_plane(cfg: CodecConfig, chroma: bool):
-    plans, dims = make_plane_plans(cfg, chroma)
-    cap = _cap_words(plans)
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _plane_sections(cfg: CodecConfig, plans, L: int, x):
+    """Shared encoder front half: transform, quantize, zerotree, and emit
+    (raw fields, rANS symbol grids). Used by the real encoder and by the
+    table-generator statistics pass (tools/tablegen.py, the huffgen
+    equivalent — reference utils/huffgen.cpp)."""
     transform = Transform(cfg.transform)
-
-    def encode_plane(x):
+    if True:
         pyr = lifting.dwt(x, transform, cfg.levels)
         nlev = len(pyr)
-
-        # Quantize all bands; collect per-orientation count chains.
-        u_bands, counts = {}, {}
         plan_by_name = {p.name: p for p in plans}
+
+        # 1. quantize all bands
+        u_bands, counts = {}, {}
         for lvl in range(nlev):
             for orient in ("V", "H", "D"):
                 p = plan_by_name[f"{orient}{lvl}"]
                 u, c = blocks.quantize_blocks(
-                    blocks.pad4(pyr[lvl][orient]), p.q, np.asarray(p.rd, np.int32)
+                    blocks.pad4(pyr[lvl][orient]), p.q,
+                    np.asarray(p.rd, np.int32),
                 )
                 u_bands[p.name] = u
                 counts[p.name] = c
-        # LL: TSUQ then 2-D gradient residual, coded via the block machinery.
         pll = plan_by_name["L"]
         qll = qops.tsuq(pyr[nlev - 1]["L"], pll.q)
-        res = _grad2d(qll)
-        u_ll, c_ll = blocks.quantize_blocks(
-            blocks.pad4(res), 1, np.zeros(16, np.int32)
+        u_bands["L"], counts["L"] = blocks.quantize_blocks(
+            blocks.pad4(_grad2d(qll)), 1, np.zeros(16, np.int32)
         )
 
-        # zerotree: subtree counts + alive/sig masks, coarse -> fine
+        # 2. zerotree masks
         sig, insig, alive = {}, {}, {}
         for orient in ("V", "H", "D"):
             chain = [counts[f"{orient}{l}"] for l in range(nlev)]
@@ -204,108 +195,228 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
                 if lvl == nlev - 1:
                     a = jnp.ones(chain[lvl].shape, bool)
                 else:
-                    a = blocks.upsample_sig(sig[f"{orient}{lvl+1}"], chain[lvl].shape)
-                s = a & (sub[lvl] > 0)
-                alive[name], sig[name], insig[name] = a, s, a & (sub[lvl] == 0)
+                    a = blocks.upsample_sig(
+                        sig[f"{orient}{lvl+1}"], chain[lvl].shape
+                    )
+                sig[name] = a & (sub[lvl] > 0)
+                insig[name] = a & (sub[lvl] == 0)
+                alive[name] = a
 
-        # Emit sections in stream order.
-        vals, lens = [], []
+        # 3. contexts (parent 2x2 max bitlen; 15 where parentless)
+        ctxs = {}
         for p in plans:
-            if p.kind == "ll":
-                s = jnp.ones((p.grid[0] * p.grid[1],), bool).reshape(p.grid)
-                v, l = _block_fields(u_ll, c_ll, s, "low")
-                vals += v
-                lens += l
+            if p.kind == "ll" or p.level == nlev - 1:
+                ctxs[p.name] = jnp.full(p.grid, 15, jnp.int32)
             else:
-                a = alive[p.name]
-                vals.append(insig[p.name].astype(jnp.int32).ravel())
-                lens.append(a.astype(jnp.int32).ravel())
-                v, l = _block_fields(
-                    u_bands[p.name], counts[p.name], sig[p.name], p.kind
+                par = plan_by_name[f"{p.orient}{p.level+1}"]
+                par_u2d = blocks.from_blocks(
+                    u_bands[par.name], par.grid[0] * 4, par.grid[1] * 4
                 )
-                vals += v
-                lens += l
+                ctxs[p.name] = blocks.parent_ctx(par_u2d, p.grid)
 
-        words, total = bitpack.pack(
-            jnp.concatenate(vals), jnp.concatenate(lens), cap
+        # 4. emit sections
+        rawv, rawl = [], []
+        sym_g, tid_g, act_g = [], [], []
+
+        def add_section(sym, tid, act):
+            sym_g.append(rans.to_grid(sym.ravel(), L))
+            tid_g.append(rans.to_grid(tid.ravel(), L))
+            act_g.append(rans.to_grid(act.ravel(), L, fill=False))
+
+        for p in plans:
+            u_blk = u_bands[p.name]
+            k = counts[p.name]
+            ctx = ctxs[p.name]
+            if p.kind == "ll":
+                s_mask = jnp.ones(p.grid, bool)
+            else:
+                s_mask = sig[p.name]
+                add_section(
+                    insig[p.name].astype(jnp.int32),
+                    tbl.Z_BASE + ctx, alive[p.name],
+                )
+            # k section
+            if p.kind == "high":
+                add_section(k - 1, tbl.KH_BASE + ctx, s_mask)
+            else:
+                add_section(k, tbl.KL_BASE + ctx, s_mask)
+            # pattern (raw phase-in, split)
+            pattern = _pattern_of(u_blk)
+            rank = enumcode.pattern_rank(pattern, k)
+            pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
+            pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
+            plong = (rank >= pth).astype(jnp.int32)
+            phi = jnp.where(plong == 1, (rank + pth) >> 1, rank)
+            pex = jnp.where(plong == 1, (rank + pth) & 1, 0)
+            sm = s_mask.astype(jnp.int32)
+            rawv += [phi.ravel(), pex.ravel()]
+            rawl += [(sm * pl).ravel(), (sm * plong).ravel()]
+            # coeff sizes (rANS) + refinement/sign (raw)
+            active, s, field, flen, sctx = _coeff_size_fields(u_blk, k)
+            add_section(
+                s, (tbl.S_BASE + sctx)[..., None] * jnp.ones((1, 1, 16), jnp.int32),
+                active,
+            )
+            rawv.append(field.ravel())
+            rawl.append(flen.ravel())
+
+    return (
+        jnp.concatenate(rawv),
+        jnp.concatenate(rawl),
+        jnp.concatenate(sym_g, axis=0),
+        jnp.concatenate(tid_g, axis=0),
+        jnp.concatenate(act_g, axis=0),
+    )
+
+
+def build_encode_plane(cfg: CodecConfig, chroma: bool):
+    plans, dims = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
+    capA = _cap_words_raw(plans)
+    capB = _cap_words_rans(plans, L)
+    rtables = tbl.get_tables()
+
+    def encode_plane(x):
+        rawv, rawl, syms, tids, acts = _plane_sections(cfg, plans, L, x)
+        wordsA, totalA = bitpack.pack(rawv, rawl, capA)
+        states, emit, words16 = rans.encode(rtables, syms, tids, acts)
+        bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
+        bl = jnp.concatenate(
+            [jnp.full((L,), 32, jnp.int32), 16 * emit.ravel().astype(jnp.int32)]
         )
-        return words, total
+        wordsB, totalB = bitpack.pack(bv, bl, capB)
+        return wordsA, totalA, wordsB, totalB
 
     return jax.jit(encode_plane)
 
 
-def _read_section(words, base, lens):
+def build_plane_stats(cfg: CodecConfig, chroma: bool):
+    """Histogram pass for table fitting: (N_TABLES, ALPHABET) symbol counts
+    plus the raw-section bit count."""
+    plans, dims = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
+
+    def plane_stats(x):
+        rawv, rawl, syms, tids, acts = _plane_sections(cfg, plans, L, x)
+        idx = (tids * tbl.ALPHABET + jnp.clip(syms, 0, tbl.ALPHABET - 1)).ravel()
+        hist = jnp.zeros((tbl.N_TABLES * tbl.ALPHABET,), jnp.int32)
+        hist = hist.at[idx].add(acts.ravel().astype(jnp.int32), mode="drop")
+        return hist.reshape(tbl.N_TABLES, tbl.ALPHABET), jnp.sum(rawl)
+
+    return jax.jit(plane_stats)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def _read_raw(wordsA, base, lens):
     offs, total = bitpack.excl_cumsum(lens.ravel())
-    out = bitpack.unpack(words, base + offs, lens.ravel())
+    out = bitpack.unpack(wordsA, base + offs, lens.ravel())
     return out.astype(jnp.int32).reshape(lens.shape), base + total
 
 
-def _decode_band_fields(words, base, sig, kind, grid):
-    """Decode k/pattern/m/mags sections for one band. Returns (u_blk, base)."""
-    sig_i = sig.astype(jnp.int32)
-    if kind == "high":
-        kl, kth = _KL_HIGH, _KTH_HIGH
-    else:
-        kl, kth = _KL_LOW, _KTH_LOW
-    hi, base = _read_section(words, base, sig_i * kl)
-    ex_mask = sig & (hi >= kth)
-    ex, base = _read_section(words, base, ex_mask.astype(jnp.int32))
-    kval = enumcode.phase_in_decode(hi, ex, kth)
-    k = jnp.where(sig, kval + (1 if kind == "high" else 0), 0)
-
-    pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
-    pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
-    phi, base = _read_section(words, base, sig_i * pl)
-    pex_mask = sig & (phi >= pth)
-    pex, base = _read_section(words, base, pex_mask.astype(jnp.int32))
-    rank = jnp.where(sig, enumcode.phase_in_decode(phi, pex, pth), 0)
-    pattern = enumcode.pattern_unrank(rank, k)
-
-    has_mag = sig & (k > 0)
-    m, base = _read_section(words, base, has_mag.astype(jnp.int32) * _MBITS)
-
-    lane = jnp.arange(16, dtype=jnp.int32)
-    active = has_mag[..., None] & (
-        ((pattern[..., None] >> (15 - lane)) & 1) == 1
+def _rans_read(rtables, states, stream16, ptr, syms_shape, tid, act, L):
+    """Decode one section grid; returns flat symbols clipped to n slots."""
+    n = int(np.prod(syms_shape))
+    tg = rans.to_grid(tid.ravel(), L)
+    ag = rans.to_grid(act.ravel(), L, fill=False)
+    syms, states, ptr = rans.decode_section(
+        rtables, states, stream16, ptr, tg, ag
     )
-    mfield, base = _read_section(
-        words, base, active.astype(jnp.int32) * (m[..., None] + 1)
-    )
-    mag1 = mfield >> 1
-    sign = mfield & 1
-    u = jnp.where(active, ((mag1 + 1) << 1) | sign, 0)
-    return u, base
+    return rans.from_grid(syms, n).reshape(syms_shape), states, ptr
 
 
 def build_decode_plane(cfg: CodecConfig, chroma: bool):
     plans, dims = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
     transform = Transform(cfg.transform)
     nlev = len(dims)
+    rtables = tbl.get_tables()
+    plan_by_name = {p.name: p for p in plans}
 
-    def decode_plane(words):
-        base = jnp.int32(0)
-        plan_by_name = {p.name: p for p in plans}
-        coeffs = {}
-        sig_maps = {}
+    def decode_plane(wordsA, statesB, stream16):
+        baseA = jnp.int32(0)
+        ptr = jnp.int32(0)
+        states = statesB
+        coeffs, sig_maps, u2d_pad = {}, {}, {}
+
         for p in plans:
+            grid = p.grid
+            nblk = grid[0] * grid[1]
+            # context
+            if p.kind == "ll" or p.level == nlev - 1:
+                ctx = jnp.full(grid, 15, jnp.int32)
+            else:
+                par = plan_by_name[f"{p.orient}{p.level+1}"]
+                ctx = blocks.parent_ctx(u2d_pad[par.name], grid)
+            # z section
             if p.kind == "ll":
-                s = jnp.ones(p.grid, bool)
-                u, base = _decode_band_fields(words, base, s, "low", p.grid)
-                res = blocks.from_blocks(u2s_(u), *p.shape)
-                qll = _cumsum2d(res)
-                coeffs["L"] = qops.tsuq_inverse(qll, p.q)
+                s_mask = jnp.ones(grid, bool)
             else:
                 if p.level == nlev - 1:
-                    a = jnp.ones(p.grid, bool)
+                    a = jnp.ones(grid, bool)
                 else:
                     a = blocks.upsample_sig(
-                        sig_maps[f"{p.orient}{p.level+1}"], p.grid
+                        sig_maps[f"{p.orient}{p.level+1}"], grid
                     )
-                z, base = _read_section(words, base, a.astype(jnp.int32))
-                s = a & (z == 0)
-                sig_maps[p.name] = s
-                u, base = _decode_band_fields(words, base, s, p.kind, p.grid)
-                x = u2s_(u)
+                z, states, ptr = _rans_read(
+                    rtables, states, stream16, ptr, grid,
+                    tbl.Z_BASE + ctx, a, L,
+                )
+                s_mask = a & (z == 0)
+                sig_maps[p.name] = s_mask
+            # k section
+            if p.kind == "high":
+                kraw, states, ptr = _rans_read(
+                    rtables, states, stream16, ptr, grid,
+                    tbl.KH_BASE + ctx, s_mask, L,
+                )
+                k = jnp.where(s_mask, kraw + 1, 0)
+            else:
+                k, states, ptr = _rans_read(
+                    rtables, states, stream16, ptr, grid,
+                    tbl.KL_BASE + ctx, s_mask, L,
+                )
+                k = jnp.where(s_mask, k, 0)
+            # pattern
+            pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
+            pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
+            sm = s_mask.astype(jnp.int32)
+            phi, baseA = _read_raw(wordsA, baseA, sm * pl)
+            pex_mask = s_mask & (phi >= pth)
+            pex, baseA = _read_raw(wordsA, baseA, pex_mask.astype(jnp.int32))
+            rank = jnp.where(s_mask, enumcode.phase_in_decode(phi, pex, pth), 0)
+            pattern = enumcode.pattern_unrank(rank, k)
+            lane = jnp.arange(16, dtype=jnp.int32)
+            active = s_mask[..., None] & (
+                ((pattern[..., None] >> (15 - lane)) & 1) == 1
+            )
+            # s section
+            sctx = jnp.clip(k - 1, 0, 15)
+            s, states, ptr = _rans_read(
+                rtables, states, stream16, ptr, grid + (16,),
+                (tbl.S_BASE + sctx)[..., None]
+                * jnp.ones((1, 1, 16), jnp.int32),
+                active, L,
+            )
+            # refinement + sign
+            flen = jnp.where(active, jnp.maximum(s, 1), 0)
+            field, baseA = _read_raw(wordsA, baseA, flen)
+            sign = field & 1
+            mag1 = jnp.where(
+                s > 0,
+                (jnp.int32(1) << jnp.maximum(s - 1, 0)) | (field >> 1),
+                0,
+            )
+            u = jnp.where(active, ((mag1 + 1) << 1) | sign, 0)
+            u2d_pad[p.name] = blocks.from_blocks(u, grid[0] * 4, grid[1] * 4)
+            x = u2s_(u)
+            if p.kind == "ll":
+                res = blocks.from_blocks(x, *p.shape)
+                coeffs["L"] = qops.tsuq_inverse(_cumsum2d(res), p.q)
+            else:
                 if p.q > 1:
                     x = x * p.q
                 coeffs[p.name] = blocks.from_blocks(x, *p.shape)
@@ -372,29 +483,34 @@ def words_to_bytes(words, total_bits: int) -> bytes:
     return np.asarray(words[:nw]).tobytes()
 
 
-def bytes_to_words(data: bytes, cap: int) -> np.ndarray:
-    pad = (-len(data)) % 4
-    buf = np.frombuffer(data + b"\x00" * pad, dtype="<u4")
-    out = np.zeros(cap, dtype=np.uint32)
-    out[: len(buf)] = buf
-    return out
-
-
-def encode_plane_bytes(x: np.ndarray, cfg: CodecConfig, chroma: bool) -> bytes:
+def encode_plane_bytes(x, cfg: CodecConfig, chroma: bool):
+    """Returns (streamA, streamB) bytes."""
     enc = _cached_encoder(cfg, chroma)
-    words, total = enc(jnp.asarray(x, jnp.int32))
-    return words_to_bytes(words, int(total))
+    wA, tA, wB, tB = enc(jnp.asarray(x, jnp.int32))
+    return words_to_bytes(wA, int(tA)), words_to_bytes(wB, int(tB))
 
 
-def decode_plane_bytes(data: bytes, cfg: CodecConfig, chroma: bool) -> np.ndarray:
+def decode_plane_bytes(streamA: bytes, streamB: bytes, cfg: CodecConfig,
+                       chroma: bool) -> np.ndarray:
     dec = _cached_decoder(cfg, chroma)
     plans, _ = make_plane_plans(cfg, chroma)
-    words = bytes_to_words(data, _cap_words(plans))
-    return np.asarray(dec(jnp.asarray(words)))
-
-
-from ric_tpu.config import SHIFT  # noqa: E402
-from ric_tpu.utils import container  # noqa: E402
+    L = _lanes(cfg)
+    capA = _cap_words_raw(plans)
+    pad = (-len(streamA)) % 4
+    bufA = np.frombuffer(streamA + b"\x00" * pad, dtype="<u4")
+    wordsA = np.zeros(capA, np.uint32)
+    wordsA[: len(bufA)] = bufA
+    padB = (-len(streamB)) % 2
+    b16 = np.frombuffer(streamB + b"\x00" * padB, dtype="<u2").astype(np.uint32)
+    states = (b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)).astype(np.uint32)
+    capB16 = _cap_words_rans(plans, L) * 2
+    stream16 = np.zeros(capB16, np.uint32)
+    body = b16[2 * L :]
+    stream16[: len(body)] = body
+    out = dec(
+        jnp.asarray(wordsA), jnp.asarray(states), jnp.asarray(stream16)
+    )
+    return np.asarray(out)
 
 
 def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
@@ -403,30 +519,30 @@ def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
     streams = []
     if cfg.channels == 3:
         y, co, cg = rgb_to_ycocg(img, 0 if cfg.lossless else SHIFT)
-        streams.append(encode_plane_bytes(y, cfg, chroma=False))
-        streams.append(encode_plane_bytes(cg, cfg, chroma=True))
-        streams.append(encode_plane_bytes(co, cfg, chroma=True))
+        streams += list(encode_plane_bytes(y, cfg, chroma=False))
+        streams += list(encode_plane_bytes(cg, cfg, chroma=True))
+        streams += list(encode_plane_bytes(co, cfg, chroma=True))
     else:
         if cfg.lossless:
             x = img - 128
         else:
             x = (img - 128) << SHIFT
-        streams.append(encode_plane_bytes(x, cfg, chroma=False))
+        streams += list(encode_plane_bytes(x, cfg, chroma=False))
     return container.write_container(cfg, streams)
 
 
 def decode_image(data: bytes) -> np.ndarray:
     cfg, streams, tiles = container.read_container(data)
     if cfg.channels == 3:
-        y = decode_plane_bytes(streams[0], cfg, chroma=False)
-        cg = decode_plane_bytes(streams[1], cfg, chroma=True)
-        co = decode_plane_bytes(streams[2], cfg, chroma=True)
+        y = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
+        cg = decode_plane_bytes(streams[2], streams[3], cfg, chroma=True)
+        co = decode_plane_bytes(streams[4], streams[5], cfg, chroma=True)
         rgb = ycocg_to_rgb(
             jnp.asarray(y), jnp.asarray(co), jnp.asarray(cg),
             0 if cfg.lossless else SHIFT,
         )
         return np.asarray(rgb).astype(np.int32)
-    x = decode_plane_bytes(streams[0], cfg, chroma=False)
+    x = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
     if cfg.lossless:
         return (x + 128).astype(np.int32)
     x = 128 + ((x + (1 << (SHIFT - 1))) >> SHIFT)

@@ -1,0 +1,79 @@
+"""Static rANS context tables (the TPU analogue of the reference's baked
+Huffman tables, bandcodec.cpp:607-745, and its adaptive bit/geo models).
+
+Table map (all alphabet-padded to 32 symbols):
+  Z  + ctx(0..15)   zerotree bit, ctx = bitlen(max parent 2x2 magnitude)
+  KL + ctx(0..15)   k of low/LL bands (0..16)
+  KH + ctx(0..15)   k-1 of finest bands (0..15)
+  S  + ctx(0..15)   coeff size class bitlen(mag-1) (0..31), ctx = min(k-1,15)
+
+Priors below are analytically seeded (geometric / humped shapes following
+the reference's k_mean init, bandcodec.cpp:488-490); tools/tablegen.py
+refits them from corpus histograms and rewrites tables.npz, which takes
+precedence when present.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+from ric_tpu.ops import rans
+
+ALPHABET = 32
+Z_BASE, KL_BASE, KH_BASE, S_BASE = 0, 16, 32, 48
+N_TABLES = 64
+
+_NPZ = os.path.join(os.path.dirname(__file__), "tables.npz")
+
+
+def _prior_counts() -> np.ndarray:
+    counts = np.zeros((N_TABLES, ALPHABET), np.float64)
+    # Z: p(insignificant) falls as the parent neighborhood gets louder
+    p_insig = np.array(
+        [0.75, 0.62, 0.50, 0.38, 0.28, 0.20, 0.14, 0.10,
+         0.08, 0.06, 0.05, 0.04, 0.04, 0.03, 0.03, 0.35]
+    )
+    for c in range(16):
+        counts[Z_BASE + c, 0] = 1.0 - p_insig[c]
+        counts[Z_BASE + c, 1] = p_insig[c]
+    # K: humped around a ctx-dependent mean (reference k_mean seeds)
+    k_mean = np.array([1.5, 2, 3, 4, 6, 8, 10, 12, 13, 14, 14, 15, 15, 15, 15, 6])
+    ks = np.arange(17, dtype=np.float64)
+    for c in range(16):
+        w = np.exp(-np.abs(ks - k_mean[c]) / 2.5)
+        counts[KL_BASE + c, :17] = w
+        counts[KH_BASE + c, :16] = np.exp(
+            -np.abs(np.arange(16) - max(k_mean[c] - 1, 0)) / 2.5
+        )
+    # S: geometric decay, heavier tail at higher k context
+    s = np.arange(ALPHABET, dtype=np.float64)
+    for c in range(16):
+        scale = 0.8 + 0.12 * c
+        counts[S_BASE + c] = np.exp(-s / scale)
+    return counts
+
+
+_VALID = np.zeros((N_TABLES, ALPHABET), bool)
+_VALID[Z_BASE : Z_BASE + 16, :2] = True
+_VALID[KL_BASE : KL_BASE + 16, :17] = True
+_VALID[KH_BASE : KH_BASE + 16, :16] = True
+_VALID[S_BASE : S_BASE + 16, :] = True
+
+
+@functools.lru_cache(maxsize=1)
+def get_freqs() -> bytes:
+    """Frequencies as a hashable bytes blob (for cache keys)."""
+    if os.path.exists(_NPZ):
+        counts = np.load(_NPZ)["counts"]
+    else:
+        counts = _prior_counts()
+    freqs = rans.normalize_freqs(counts, _VALID)
+    return freqs.astype(np.int32).tobytes()
+
+
+@functools.lru_cache(maxsize=1)
+def get_tables():
+    freqs = np.frombuffer(get_freqs(), np.int32).reshape(N_TABLES, ALPHABET)
+    return rans.build_tables(freqs)

@@ -1,0 +1,184 @@
+"""Interleaved-lane range Asymmetric Numeral System coder (static tables).
+
+This is the TPU-native replacement for the reference's serial adaptive
+entropy stack (CMuxCodec range coder + CBitCodec + CGeomCodec + adaptive
+k_mean Huffman selection, SURVEY.md §2 #5-8). Those coders are bit-serial
+with data-dependent state; here, L independent rANS lanes advance in
+lockstep — symbol j of a section lives on lane j % L at step j // L — so
+encode and decode vectorize across lanes on the VPU while staying
+*deterministic*: stream bytes depend only on the input and the static
+tables, never on timing or mesh shape.
+
+Scheme (standard rANS, Duda/Giesen construction):
+  * probability scale M = 2^12 (matches the reference's FREQ_POWER)
+  * 32-bit lane state x in [2^16, 2^32), 16-bit renormalization
+  * encode (reverse symbol order):
+      if x >= freq << 20: emit low 16 bits, x >>= 16
+      x = (x // freq) << 12 | (x % freq + start)
+  * decode (forward): slot = x & 4095; s = slot2sym[slot]
+      x = freq[s] * (x >> 12) + slot - start[s]
+      if x < 2^16: x = x << 16 | next word
+  Single-renorm-per-step is guaranteed by M <= renorm base; table freqs are
+  capped at M-1 so `freq << 20` never overflows uint32.
+
+Word order: the word emitted while encoding symbol (t, lane) is exactly the
+word read after decoding symbol (t, lane), and decode consumes in (t, lane)
+raster order — so the encoder just compacts its emission grid in raster
+order; no stream reversal is needed.
+
+Masked lanes (section tails, insignificant blocks) leave lane state
+untouched on both sides, so sections of *dynamic* symbol count run under
+static shapes.
+
+Context modeling: every symbol carries a table id; tables are gathered per
+(lane, step), giving the reference's context-conditioned coding without its
+serial adaptation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+RANS_L = 1 << 16
+M_BITS = 12
+M = 1 << M_BITS
+
+
+def build_tables(freqs: np.ndarray):
+    """freqs: (n_tables, alphabet) ints, each row sums to M, zeros allowed
+    for impossible symbols, nonzero entries capped at M-1.
+
+    Returns dict of device arrays: freq (T,A) u32, start (T,A) u32,
+    slot2sym (T,M) i32.
+    """
+    freqs = np.asarray(freqs, np.int64)
+    assert (freqs.sum(axis=1) == M).all(), "each table must sum to 4096"
+    assert (freqs < M).all(), "cap freqs at 4095"
+    starts = np.cumsum(freqs, axis=1) - freqs
+    ntab, alpha = freqs.shape
+    slot2sym = np.zeros((ntab, M), np.int32)
+    for t in range(ntab):
+        for s in range(alpha):
+            slot2sym[t, starts[t, s] : starts[t, s] + freqs[t, s]] = s
+    return {
+        "freq": jnp.asarray(freqs, jnp.uint32),
+        "start": jnp.asarray(starts, jnp.uint32),
+        "slot2sym": jnp.asarray(slot2sym, jnp.int32),
+    }
+
+
+def encode(tables, symbols, tids, active):
+    """Encode a (T, L) symbol grid in global reverse order.
+
+    symbols/tids: (T, L) int32; active: (T, L) bool.
+    Returns (final_states (L,) u32, emit (T, L) bool, words (T, L) u32).
+    """
+    freq, start = tables["freq"], tables["start"]
+    L = symbols.shape[1]
+
+    def step(x, inp):
+        sym, tid, act = inp
+        f = jnp.where(act, freq[tid, sym], 1).astype(jnp.uint32)
+        st = jnp.where(act, start[tid, sym], 0).astype(jnp.uint32)
+        emit = act & (x >= (f << 20))
+        word = x & jnp.uint32(0xFFFF)
+        x1 = jnp.where(emit, x >> 16, x)
+        xn = ((x1 // f) << M_BITS) + (x1 % f) + st
+        return jnp.where(act, xn, x), (emit, word)
+
+    x0 = jnp.full((L,), RANS_L, jnp.uint32)
+    rev = lambda a: jnp.flip(a, axis=0)
+    xf, (emit_r, words_r) = jax.lax.scan(
+        step, x0, (rev(symbols), rev(tids), rev(active))
+    )
+    return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
+
+
+def decode_section(tables, states, stream16, ptr, tids, active):
+    """Decode a (T, L) section grid in forward order.
+
+    states: (L,) u32 lane states; stream16: (N,) u32 array of 16-bit words;
+    ptr: scalar index of the next unread word; tids/active: (T, L).
+    Returns (symbols (T, L) i32, new_states, new_ptr).
+    """
+    freq, start, slot2sym = tables["freq"], tables["start"], tables["slot2sym"]
+    if stream16.shape[0] == 0:
+        stream16 = jnp.zeros((1,), jnp.uint32)
+    n = stream16.shape[0]
+
+    def step(carry, inp):
+        x, p = carry
+        tid, act = inp
+        slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+        sym = slot2sym[tid, slot]
+        f = jnp.where(act, freq[tid, sym], 1).astype(jnp.uint32)
+        st = jnp.where(act, start[tid, sym], 0).astype(jnp.uint32)
+        xn = f * (x >> M_BITS) + slot.astype(jnp.uint32) - st
+        need = act & (xn < RANS_L)
+        ni = need.astype(jnp.int32)
+        idx = p + jnp.cumsum(ni) - ni
+        w = stream16[jnp.clip(idx, 0, n - 1)]
+        xn = jnp.where(need, (xn << 16) | w, xn)
+        x = jnp.where(act, xn, x)
+        return (x, p + jnp.sum(ni)), jnp.where(act, sym, 0)
+
+    (xf, pf), syms = jax.lax.scan(step, (states, ptr), (tids, active))
+    return syms, xf, pf
+
+
+# --------------------------------------------------------------------------
+# Grid layout helpers: section of n_max slots -> (ceil(n_max/L), L) grids
+# --------------------------------------------------------------------------
+
+
+def to_grid(flat, L, fill=0):
+    """(n,) -> (ceil(n/L), L), padding with `fill`."""
+    n = flat.shape[0]
+    T = -(-n // L)
+    pad = T * L - n
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad,), fill, flat.dtype)], axis=0
+        )
+    return flat.reshape(T, L)
+
+
+def from_grid(grid, n):
+    return grid.reshape(-1)[:n]
+
+
+def normalize_freqs(counts: np.ndarray, alphabet_valid=None) -> np.ndarray:
+    """Turn raw histogram rows into M-sum tables (min freq 1 on valid
+    symbols, capped at M-1). counts: (n_tables, A) float/int."""
+    counts = np.asarray(counts, np.float64)
+    out = np.zeros_like(counts, dtype=np.int64)
+    for t in range(counts.shape[0]):
+        c = counts[t].copy()
+        valid = (
+            alphabet_valid[t]
+            if alphabet_valid is not None
+            else np.ones_like(c, bool)
+        )
+        c = np.where(valid, np.maximum(c, 1e-3), 0.0)
+        total = c.sum()
+        if total == 0:
+            c = valid.astype(np.float64)
+            total = c.sum()
+        f = np.floor(c / total * M).astype(np.int64)
+        f = np.where(valid & (f == 0), 1, f)
+        f = np.minimum(f, M - 1)
+        # fix the sum by adjusting the largest entries
+        diff = M - f.sum()
+        order = np.argsort(-f)
+        i = 0
+        while diff != 0:
+            j = order[i % len(order)]
+            if valid[j]:
+                stepv = 1 if diff > 0 else -1
+                if 1 <= f[j] + stepv <= M - 1:
+                    f[j] += stepv
+                    diff -= stepv
+            i += 1
+        out[t] = f
+    return out

@@ -35,14 +35,17 @@ def build_tiled_encode(tile_cfg: CodecConfig, mesh):
 
     def local(xt):
         # xt: (b_local, H, tile_w)
-        words, total = jax.vmap(enc)(xt)
-        return words[:, None], total[:, None]
+        wA, tA, wB, tB = jax.vmap(enc)(xt)
+        return wA[:, None], tA[:, None], wB[:, None], tB[:, None]
 
     fn = shard_map(
         local,
         mesh=mesh,
         in_specs=(P("dp", None, "sp"),),
-        out_specs=(P("dp", "sp", None), P("dp", "sp")),
+        out_specs=(
+            P("dp", "sp", None), P("dp", "sp"),
+            P("dp", "sp", None), P("dp", "sp"),
+        ),
     )
     return jax.jit(fn)
 
@@ -60,24 +63,23 @@ def encode_image_tiled(img: np.ndarray, cfg: CodecConfig, mesh) -> list[bytes]:
         levels=cfg.levels, input_depth=cfg.input_depth,
     )
     fn = build_tiled_encode(tile_cfg, mesh)
-    x = jnp.asarray(img, jnp.int32)[None]  # B=1 -> broadcast over dp? no: dp=1 mesh for single image
-    words, totals = fn(x)
+    x = jnp.asarray(img, jnp.int32)[None]  # B=1 requires a dp=1 mesh
+    wA, tA, wB, tB = fn(x)
     streams = []
     for t in range(sp):
-        streams.append(
-            image_codec.words_to_bytes(words[0, t], int(totals[0, t]))
-        )
+        streams.append(image_codec.words_to_bytes(wA[0, t], int(tA[0, t])))
+        streams.append(image_codec.words_to_bytes(wB[0, t], int(tB[0, t])))
     return streams, tile_cfg
 
 
 def decode_image_tiled(streams: list[bytes], cfg: CodecConfig,
                        tile_cfg: CodecConfig) -> np.ndarray:
     """Decode per-tile substreams and reassemble (host loop over tiles)."""
-    sp = len(streams)
+    sp = len(streams) // 2
     out = np.empty((cfg.height, cfg.width), np.int32)
     tw = tile_cfg.width
-    for t, s in enumerate(streams):
+    for t in range(sp):
         out[:, t * tw : (t + 1) * tw] = image_codec.decode_plane_bytes(
-            s, tile_cfg, chroma=False
+            streams[2 * t], streams[2 * t + 1], tile_cfg, chroma=False
         )
     return out

@@ -66,7 +66,8 @@ def read_container(data: bytes):
         transform=Transform((flags >> 1) & 3), levels=levels,
         input_depth=16 if (flags >> 3) & 1 else 8,
     )
-    nstreams = channels * tx * ty
+    # two substreams per plane per tile: raw bits (A) + rANS (B)
+    nstreams = channels * 2 * tx * ty
     off = 20
     lens = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
     off += 4 * nstreams

@@ -1,0 +1,72 @@
+"""rANS round-trip + compression-efficiency tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ric_tpu.ops import rans
+
+
+def make_tables(rng, n_tables=4, alphabet=8):
+    counts = rng.integers(1, 1000, size=(n_tables, alphabet))
+    return rans.normalize_freqs(counts), counts
+
+
+def roundtrip(symbols, tids, active, freqs, L):
+    tables = rans.build_tables(freqs)
+    T = symbols.shape[0] // L
+    grid_s = jnp.asarray(symbols.reshape(T, L))
+    grid_t = jnp.asarray(tids.reshape(T, L))
+    grid_a = jnp.asarray(active.reshape(T, L))
+    states, emit, words = rans.encode(tables, grid_s, grid_t, grid_a)
+    # compact words in raster order (as the bit stream would)
+    emit_np = np.asarray(emit).ravel()
+    words_np = np.asarray(words).ravel()
+    stream16 = jnp.asarray(words_np[emit_np].astype(np.uint32))
+    syms, xf, ptr = rans.decode_section(
+        tables, states, stream16, jnp.int32(0), grid_t, grid_a
+    )
+    assert int(ptr) == int(emit_np.sum())
+    # all lanes must return to the initial state
+    np.testing.assert_array_equal(np.asarray(xf), rans.RANS_L)
+    return np.asarray(syms).ravel(), int(emit_np.sum()) * 16
+
+
+def test_rans_roundtrip_random(rng):
+    L, T = 32, 64
+    n = L * T
+    freqs, counts = make_tables(rng)
+    # sample symbols from each table's actual distribution
+    tids = rng.integers(0, 4, size=n).astype(np.int32)
+    probs = counts / counts.sum(axis=1, keepdims=True)
+    symbols = np.array(
+        [rng.choice(8, p=probs[t]) for t in tids], dtype=np.int32
+    )
+    active = rng.random(n) < 0.8
+    symbols = np.where(active, symbols, 0).astype(np.int32)
+    out, bits = roundtrip(symbols, tids, active.astype(bool), freqs, L)
+    np.testing.assert_array_equal(out[active], symbols[active])
+    assert (out[~active] == 0).all()
+
+
+def test_rans_compression_near_entropy(rng):
+    # Skewed binary source: ~0.1/0.9 -> entropy 0.469 bits/sym
+    L, T = 64, 256
+    n = L * T
+    freqs = rans.normalize_freqs(np.array([[900, 100]]))
+    symbols = (rng.random(n) < 0.1).astype(np.int32)
+    tids = np.zeros(n, np.int32)
+    active = np.ones(n, bool)
+    out, bits = roundtrip(symbols, tids, active, freqs, L)
+    np.testing.assert_array_equal(out, symbols)
+    bits_per_sym = bits / n
+    assert bits_per_sym < 0.52, f"rANS rate too high: {bits_per_sym:.3f}"
+
+
+def test_rans_all_masked(rng):
+    L = 16
+    freqs = rans.normalize_freqs(np.array([[2048, 2048]]))
+    symbols = np.zeros(L * 4, np.int32)
+    tids = np.zeros(L * 4, np.int32)
+    active = np.zeros(L * 4, bool)
+    out, bits = roundtrip(symbols, tids, active, freqs, L)
+    assert bits == 0

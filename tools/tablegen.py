@@ -1,0 +1,81 @@
+"""Offline rANS table fitting — the huffgen equivalent
+(reference utils/huffgen.cpp + GENERATE_HUFF_STATS flow, SURVEY.md §3.4).
+
+Accumulates (table, symbol) histograms from the shared encoder front half
+over a corpus of synthetic content classes and quantizers, then writes
+ric_tpu/models/tables.npz (picked up by ric_tpu.models.tables at import).
+
+Usage: python tools/tablegen.py [out.npz]
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import jax.numpy as jnp
+
+from ric_tpu.config import CodecConfig, Transform, SHIFT
+from ric_tpu.models import image_codec, tables as tbl
+
+
+def corpus(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    imgs = []
+    # smooth gradients + sinusoids
+    imgs.append(96 + 80 * np.sin(xx / 37.0) * np.cos(yy / 29.0)
+                + 24 * np.sin((xx + yy) / 11.0))
+    # textured
+    imgs.append(128 + 40 * np.sin(xx * yy / 797.0) + rng.normal(0, 12, (h, w)))
+    # edges / blocks
+    blocksy = ((yy // 31) + (xx // 23)) % 2
+    imgs.append(60 + 140 * blocksy + rng.normal(0, 3, (h, w)))
+    # natural-ish 1/f noise
+    f = np.fft.fftfreq(h)[:, None] ** 2 + np.fft.fftfreq(w)[None, :] ** 2
+    spec = (rng.normal(size=(h, w)) + 1j * rng.normal(size=(h, w))) / np.sqrt(
+        f + 1e-4
+    )
+    pink = np.fft.ifft2(spec).real
+    pink = 128 + 60 * pink / np.abs(pink).max()
+    imgs.append(pink)
+    return [np.clip(i, 0, 255).astype(np.uint8) for i in imgs]
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "ric_tpu/models/tables.npz"
+    rng = np.random.default_rng(42)
+    hist = np.zeros((tbl.N_TABLES, tbl.ALPHABET), np.float64)
+    h = w = 512
+    for img in corpus(rng, h, w):
+        for quant in (0, 5, 9, 14, 20):
+            trans = Transform.CDF53 if quant == 0 else Transform.CDF97
+            cfg = CodecConfig(width=w, height=h, quant=quant, transform=trans)
+            for chroma in (False,):
+                fn = image_codec.build_plane_stats(cfg, chroma)
+                if quant == 0:
+                    x = img.astype(np.int32) - 128
+                else:
+                    x = (img.astype(np.int32) - 128) << SHIFT
+                hcounts, rawbits = fn(jnp.asarray(x, jnp.int32))
+                hist += np.asarray(hcounts, np.float64)
+        print(f"image done; total syms {hist.sum():.3e}", flush=True)
+    np.savez(out, counts=hist)
+    # report per-table entropy
+    for base, name in ((tbl.Z_BASE, "Z"), (tbl.KL_BASE, "KL"),
+                       (tbl.KH_BASE, "KH"), (tbl.S_BASE, "S")):
+        tot = hist[base : base + 16].sum()
+        p = hist[base : base + 16] / max(tot, 1)
+        print(f"{name}: {tot:.3e} symbols")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
