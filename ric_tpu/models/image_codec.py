@@ -274,7 +274,7 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
     L = _lanes(cfg)
     capA = _cap_words_raw(plans)
     capB = _cap_words_rans(plans, L)
-    rtables = tbl.get_tables()
+    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
 
     def encode_plane(x):
         rawv, rawl, syms, tids, acts = _plane_sections(cfg, plans, L, x)
@@ -333,7 +333,7 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     L = _lanes(cfg)
     transform = Transform(cfg.transform)
     nlev = len(dims)
-    rtables = tbl.get_tables()
+    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
     plan_by_name = {p.name: p for p in plans}
 
     def decode_plane(wordsA, statesB, stream16):

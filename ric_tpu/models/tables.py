@@ -61,19 +61,47 @@ _VALID[KL_BASE : KL_BASE + 16, :17] = True
 _VALID[KH_BASE : KH_BASE + 16, :16] = True
 _VALID[S_BASE : S_BASE + 16, :] = True
 
+# Rate-regime buckets: symbol statistics shift strongly with the quantizer
+# (lossless streams are dense, q>=15 streams are nearly-all-zerotree), so
+# each regime gets its own fitted table set, selected statically by config
+# — zero per-stream header cost.
+N_BUCKETS = 4
+
+
+def rate_bucket(quant: int) -> int:
+    if quant == 0:
+        return 0
+    if quant < 8:
+        return 1
+    if quant < 15:
+        return 2
+    return 3
+
 
 @functools.lru_cache(maxsize=1)
-def get_freqs() -> bytes:
-    """Frequencies as a hashable bytes blob (for cache keys)."""
+def _all_counts() -> np.ndarray:
     if os.path.exists(_NPZ):
-        counts = np.load(_NPZ)["counts"]
-    else:
-        counts = _prior_counts()
+        data = np.load(_NPZ)["counts"]
+        if data.ndim == 3 and data.shape[0] == N_BUCKETS:
+            return data
+        # legacy single-set file: broadcast
+        return np.broadcast_to(data, (N_BUCKETS,) + data.shape).copy()
+    return np.broadcast_to(
+        _prior_counts(), (N_BUCKETS, N_TABLES, ALPHABET)
+    ).copy()
+
+
+@functools.lru_cache(maxsize=N_BUCKETS)
+def get_freqs(bucket: int = 0) -> bytes:
+    """Frequencies as a hashable bytes blob (for cache keys)."""
+    counts = _all_counts()[bucket]
     freqs = rans.normalize_freqs(counts, _VALID)
     return freqs.astype(np.int32).tobytes()
 
 
-@functools.lru_cache(maxsize=1)
-def get_tables():
-    freqs = np.frombuffer(get_freqs(), np.int32).reshape(N_TABLES, ALPHABET)
+@functools.lru_cache(maxsize=N_BUCKETS)
+def get_tables(bucket: int = 0):
+    freqs = np.frombuffer(get_freqs(bucket), np.int32).reshape(
+        N_TABLES, ALPHABET
+    )
     return rans.build_tables(freqs)

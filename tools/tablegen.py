@@ -49,31 +49,46 @@ def corpus(rng, h, w):
     return [np.clip(i, 0, 255).astype(np.uint8) for i in imgs]
 
 
+def natural_corpus(h, w):
+    """Natural test images from build/corpus (tools' corpus prep), cropped
+    or tiled to (h, w) grayscale."""
+    import glob
+
+    from ric_tpu.utils import pnm
+
+    out = []
+    for path in sorted(glob.glob("build/corpus/*.pgm")):
+        img = pnm.read_pnm(path)
+        ih, iw = img.shape[:2]
+        reps = (-(-h // ih), -(-w // iw))
+        img = np.tile(img, reps)[:h, :w]
+        out.append(img)
+    return out
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "ric_tpu/models/tables.npz"
     rng = np.random.default_rng(42)
-    hist = np.zeros((tbl.N_TABLES, tbl.ALPHABET), np.float64)
+    hists = np.zeros((tbl.N_BUCKETS, tbl.N_TABLES, tbl.ALPHABET), np.float64)
     h = w = 512
-    for img in corpus(rng, h, w):
-        for quant in (0, 5, 9, 14, 20):
-            trans = Transform.CDF53 if quant == 0 else Transform.CDF97
-            cfg = CodecConfig(width=w, height=h, quant=quant, transform=trans)
-            for chroma in (False,):
-                fn = image_codec.build_plane_stats(cfg, chroma)
+    imgs = corpus(rng, h, w) + natural_corpus(h, w)
+    # representative quants per rate bucket
+    bucket_quants = {0: (0,), 1: (4, 6), 2: (9, 12), 3: (16, 20, 24)}
+    for img in imgs:
+        for bucket, quants in bucket_quants.items():
+            for quant in quants:
+                trans = Transform.CDF53 if quant == 0 else Transform.CDF97
+                cfg = CodecConfig(width=w, height=h, quant=quant,
+                                  transform=trans)
+                fn = image_codec.build_plane_stats(cfg, False)
                 if quant == 0:
                     x = img.astype(np.int32) - 128
                 else:
                     x = (img.astype(np.int32) - 128) << SHIFT
                 hcounts, rawbits = fn(jnp.asarray(x, jnp.int32))
-                hist += np.asarray(hcounts, np.float64)
-        print(f"image done; total syms {hist.sum():.3e}", flush=True)
-    np.savez(out, counts=hist)
-    # report per-table entropy
-    for base, name in ((tbl.Z_BASE, "Z"), (tbl.KL_BASE, "KL"),
-                       (tbl.KH_BASE, "KH"), (tbl.S_BASE, "S")):
-        tot = hist[base : base + 16].sum()
-        p = hist[base : base + 16] / max(tot, 1)
-        print(f"{name}: {tot:.3e} symbols")
+                hists[bucket] += np.asarray(hcounts, np.float64)
+        print(f"image done; total syms {hists.sum():.3e}", flush=True)
+    np.savez(out, counts=hists)
     print(f"wrote {out}")
 
 
