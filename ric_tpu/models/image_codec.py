@@ -217,6 +217,10 @@ def _plane_sections(cfg: CodecConfig, plans, L: int, x):
         # 4. emit sections
         rawv, rawl = [], []
         sym_g, tid_g, act_g = [], [], []
+        diag = {
+            "pattern_bits": jnp.int32(0),
+            "refine_bits": jnp.int32(0),
+        }
 
         def add_section(sym, tid, act):
             sym_g.append(rans.to_grid(sym.ravel(), L))
@@ -259,6 +263,8 @@ def _plane_sections(cfg: CodecConfig, plans, L: int, x):
             )
             rawv.append(field.ravel())
             rawl.append(flen.ravel())
+            diag["pattern_bits"] += jnp.sum(sm * pl) + jnp.sum(sm * plong)
+            diag["refine_bits"] += jnp.sum(flen)
 
     return (
         jnp.concatenate(rawv),
@@ -266,6 +272,7 @@ def _plane_sections(cfg: CodecConfig, plans, L: int, x):
         jnp.concatenate(sym_g, axis=0),
         jnp.concatenate(tid_g, axis=0),
         jnp.concatenate(act_g, axis=0),
+        diag,
     )
 
 
@@ -277,7 +284,7 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
     rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
 
     def encode_plane(x):
-        rawv, rawl, syms, tids, acts = _plane_sections(cfg, plans, L, x)
+        rawv, rawl, syms, tids, acts, _diag = _plane_sections(cfg, plans, L, x)
         wordsA, totalA = bitpack.pack(rawv, rawl, capA)
         states, emit, words16 = rans.encode(rtables, syms, tids, acts)
         bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
@@ -297,11 +304,11 @@ def build_plane_stats(cfg: CodecConfig, chroma: bool):
     L = _lanes(cfg)
 
     def plane_stats(x):
-        rawv, rawl, syms, tids, acts = _plane_sections(cfg, plans, L, x)
+        rawv, rawl, syms, tids, acts, diag = _plane_sections(cfg, plans, L, x)
         idx = (tids * tbl.ALPHABET + jnp.clip(syms, 0, tbl.ALPHABET - 1)).ravel()
         hist = jnp.zeros((tbl.N_TABLES * tbl.ALPHABET,), jnp.int32)
         hist = hist.at[idx].add(acts.ravel().astype(jnp.int32), mode="drop")
-        return hist.reshape(tbl.N_TABLES, tbl.ALPHABET), jnp.sum(rawl)
+        return hist.reshape(tbl.N_TABLES, tbl.ALPHABET), jnp.sum(rawl), diag
 
     return jax.jit(plane_stats)
 

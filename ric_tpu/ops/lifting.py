@@ -95,8 +95,9 @@ def _even_mirror_mask(n: int):
 # ---------------------------------------------------------------------------
 
 
-def _fwd97(e, o, n, wrap):
-    mir = _even_mirror_mask(n)
+def _fwd97(e, o, n, wrap, mir=None):
+    if mir is None:
+        mir = _even_mirror_mask(n)
     # S1 (alpha=-3/2): e -= t + t>>1, t = l + r      [wavelet2d.cpp:327-328]
     l, r = _even_nbrs(o, n)
     t = l + r
@@ -114,8 +115,9 @@ def _fwd97(e, o, n, wrap):
     return e, o
 
 
-def _inv97(e, o, n, wrap):
-    mir = _even_mirror_mask(n)
+def _inv97(e, o, n, wrap, mir=None):
+    if mir is None:
+        mir = _even_mirror_mask(n)
     l, r = _odd_nbrs(e, n)
     t = l + r
     o = _maybe_wrap(o - ((t >> 1) - (t >> 5)), wrap)

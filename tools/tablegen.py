@@ -85,7 +85,7 @@ def main():
                     x = img.astype(np.int32) - 128
                 else:
                     x = (img.astype(np.int32) - 128) << SHIFT
-                hcounts, rawbits = fn(jnp.asarray(x, jnp.int32))
+                hcounts, rawbits, _diag = fn(jnp.asarray(x, jnp.int32))
                 hists[bucket] += np.asarray(hcounts, np.float64)
         print(f"image done; total syms {hists.sum():.3e}", flush=True)
     np.savez(out, counts=hists)
