@@ -102,10 +102,27 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
 
 def _lanes(cfg: CodecConfig) -> int:
     """Lane count trades VPU width against the fixed 4-byte/lane state
-    flush: 128 lanes (512 B) for small images up to 4096 lanes for >=16 Mpix."""
+    flush; heavily-quantized streams are tiny, so they get fewer lanes."""
     npix = cfg.width * cfg.height
-    l = 1 << max(7, (npix >> 11).bit_length())
+    shift = 13 if tbl.rate_bucket(cfg.quant) == 3 else 11
+    l = 1 << max(6, (npix >> shift).bit_length())
     return min(4096, l)
+
+
+def _use_image_tables(cfg: CodecConfig) -> bool:
+    """Two-pass per-image rANS tables: worth their ~1.6 KB stream cost for
+    big enough streams (breakdown: corpus-average tables lose 0.1-0.25 bpp
+    of cross-entropy on 512x512 content). Static rule, both sides agree."""
+    return (
+        cfg.width * cfg.height >= (1 << 18)
+        and tbl.rate_bucket(cfg.quant) <= 2
+    )
+
+
+# static row-major list of valid (table, symbol) positions for serialization
+_VALID_POS = np.argwhere(tbl._VALID)
+_N_VALID = len(_VALID_POS)
+_TABLE_SECTION_BITS = _N_VALID * 12
 
 
 def _cap_words_raw(plans) -> int:
@@ -162,9 +179,15 @@ def _plane_sections(cfg: CodecConfig, plans, L: int, x):
     (raw fields, rANS symbol grids). Used by the real encoder and by the
     table-generator statistics pass (tools/tablegen.py, the huffgen
     equivalent — reference utils/huffgen.cpp)."""
-    transform = Transform(cfg.transform)
+    pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
+    return _sections_from_pyramid(plans, L, pyr)
+
+
+def _sections_from_pyramid(plans, L: int, pyr):
+    """Quantize + zerotree + section emission for an already-transformed
+    pyramid (also used by the tiled path, where the DWT is the
+    halo-exchanged distributed transform)."""
     if True:
-        pyr = lifting.dwt(x, transform, cfg.levels)
         nlev = len(pyr)
         plan_by_name = {p.name: p for p in plans}
 
@@ -279,14 +302,37 @@ def _plane_sections(cfg: CodecConfig, plans, L: int, x):
 def build_encode_plane(cfg: CodecConfig, chroma: bool):
     plans, dims = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
-    capA = _cap_words_raw(plans)
+    capA = _cap_words_raw(plans) + _TABLE_SECTION_BITS // 32 + 1
     capB = _cap_words_rans(plans, L)
+    image_tables = _use_image_tables(cfg)
     rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
+    valid = jnp.asarray(tbl._VALID)
+    vrows = jnp.asarray(_VALID_POS[:, 0])
+    vcols = jnp.asarray(_VALID_POS[:, 1])
 
     def encode_plane(x):
         rawv, rawl, syms, tids, acts, _diag = _plane_sections(cfg, plans, L, x)
+        if image_tables:
+            idx = (
+                tids * tbl.ALPHABET + jnp.clip(syms, 0, tbl.ALPHABET - 1)
+            ).ravel()
+            hist = jnp.zeros((tbl.N_TABLES * tbl.ALPHABET,), jnp.int32)
+            hist = hist.at[idx].add(
+                acts.ravel().astype(jnp.int32), mode="drop"
+            ).reshape(tbl.N_TABLES, tbl.ALPHABET)
+            freq = rans.device_normalize(hist, valid)
+            enc_tables = {
+                "freq": freq.astype(jnp.uint32),
+                "start": (jnp.cumsum(freq, axis=1) - freq).astype(jnp.uint32),
+            }
+            tsec_vals = freq[vrows, vcols]
+            tsec_lens = jnp.full((_N_VALID,), 12, jnp.int32)
+            rawv = jnp.concatenate([tsec_vals, rawv])
+            rawl = jnp.concatenate([tsec_lens, rawl])
+        else:
+            enc_tables = rtables
         wordsA, totalA = bitpack.pack(rawv, rawl, capA)
-        states, emit, words16 = rans.encode(rtables, syms, tids, acts)
+        states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
         bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
         bl = jnp.concatenate(
             [jnp.full((L,), 32, jnp.int32), 16 * emit.ravel().astype(jnp.int32)]
@@ -335,16 +381,13 @@ def _rans_read(rtables, states, stream16, ptr, syms_shape, tid, act, L):
     return rans.from_grid(syms, n).reshape(syms_shape), states, ptr
 
 
-def build_decode_plane(cfg: CodecConfig, chroma: bool):
-    plans, dims = make_plane_plans(cfg, chroma)
-    L = _lanes(cfg)
-    transform = Transform(cfg.transform)
-    nlev = len(dims)
-    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
+def _decode_sections(plans, L, rtables, nlev, wordsA, statesB, stream16,
+                     baseA0: int = 0):
+    """Mirror of _sections_from_pyramid: decode all band coefficient arrays
+    from the two substreams. Returns {band name: dequantized coeffs}."""
     plan_by_name = {p.name: p for p in plans}
-
-    def decode_plane(wordsA, statesB, stream16):
-        baseA = jnp.int32(0)
+    if True:
+        baseA = jnp.int32(baseA0)
         ptr = jnp.int32(0)
         states = statesB
         coeffs, sig_maps, u2d_pad = {}, {}, {}
@@ -428,12 +471,47 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
                     x = x * p.q
                 coeffs[p.name] = blocks.from_blocks(x, *p.shape)
 
-        pyr = []
-        for lvl in range(nlev):
-            entry = {o: coeffs[f"{o}{lvl}"] for o in ("V", "H", "D")}
-            if lvl == nlev - 1:
-                entry["L"] = coeffs["L"]
-            pyr.append(entry)
+    return coeffs
+
+
+def _pyramid_from_coeffs(coeffs, nlev):
+    pyr = []
+    for lvl in range(nlev):
+        entry = {o: coeffs[f"{o}{lvl}"] for o in ("V", "H", "D")}
+        if lvl == nlev - 1:
+            entry["L"] = coeffs["L"]
+        pyr.append(entry)
+    return pyr
+
+
+def build_decode_plane(cfg: CodecConfig, chroma: bool):
+    plans, dims = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
+    transform = Transform(cfg.transform)
+    nlev = len(dims)
+    image_tables = _use_image_tables(cfg)
+    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
+    vrows = jnp.asarray(_VALID_POS[:, 0])
+    vcols = jnp.asarray(_VALID_POS[:, 1])
+
+    def decode_plane(wordsA, statesB, stream16):
+        if image_tables:
+            offs = jnp.arange(_N_VALID, dtype=jnp.int32) * 12
+            lens = jnp.full((_N_VALID,), 12, jnp.int32)
+            fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
+            freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
+            freq = freq.at[vrows, vcols].set(fvals)
+            dtables = rans.device_build_tables(freq)
+            wordsA_body = wordsA  # band sections start after the table bits
+            coeffs = _decode_sections(
+                plans, L, dtables, nlev, wordsA_body, statesB, stream16,
+                baseA0=_TABLE_SECTION_BITS,
+            )
+        else:
+            coeffs = _decode_sections(
+                plans, L, rtables, nlev, wordsA, statesB, stream16
+            )
+        pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 
     return jax.jit(decode_plane)

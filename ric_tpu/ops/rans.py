@@ -148,6 +148,61 @@ def from_grid(grid, n):
     return grid.reshape(-1)[:n]
 
 
+def device_normalize(hist, valid):
+    """Deterministic on-device histogram -> M-sum frequency tables.
+
+    hist: (T, A) int32 symbol counts; valid: (T, A) bool static mask.
+    Occurring symbols get freq >= 1; rows sum to exactly M; entries capped
+    at M-1. Both encoder and decoder derive identical tables from the same
+    ints, so per-image tables need no reference implementation on the host.
+    """
+    valid = jnp.asarray(valid)
+    c = jnp.where(valid, hist, 0).astype(jnp.int32)
+    pos = c > 0
+    total = jnp.sum(c, axis=1, keepdims=True)
+    # rescale so c*M fits in int32
+    sh = jnp.maximum(0, (32 - jax.lax.clz(jnp.maximum(total, 1))) - 18)
+    c2 = jnp.maximum(c >> sh, pos.astype(jnp.int32))
+    tot2 = jnp.maximum(jnp.sum(c2, axis=1, keepdims=True), 1)
+    f = jnp.where(pos, jnp.maximum(1, (c2 * M) // tot2), 0)
+    f = jnp.minimum(f, M - 1)
+
+    def fix(i, f):
+        diff = M - jnp.sum(f, axis=1, keepdims=True)
+        room_up = jnp.where(valid, (M - 1) - f, 0)
+        room_dn = jnp.where(f > 0, f - 1, 0)
+        ju = jnp.argmax(room_up, axis=1, keepdims=True)
+        jd = jnp.argmax(room_dn, axis=1, keepdims=True)
+        upd_up = jnp.minimum(diff, jnp.take_along_axis(room_up, ju, 1))
+        upd_dn = jnp.minimum(-diff, jnp.take_along_axis(room_dn, jd, 1))
+        f = jnp.where(
+            diff > 0,
+            f.at[jnp.arange(f.shape[0])[:, None], ju].add(
+                jnp.maximum(upd_up, 0)
+            ),
+            f.at[jnp.arange(f.shape[0])[:, None], jd].add(
+                -jnp.maximum(upd_dn, 0)
+            ),
+        )
+        return f
+
+    f = jax.lax.fori_loop(0, 8, fix, f)
+    return f
+
+
+def device_build_tables(freq):
+    """(T, A) int32 freqs (rows sum to M) -> tables dict with the decode
+    LUT built on device (vmapped searchsorted)."""
+    freq = freq.astype(jnp.uint32)
+    start = jnp.cumsum(freq, axis=1) - freq
+    cum = jnp.cumsum(freq, axis=1).astype(jnp.int32)
+    slots = jnp.arange(M, dtype=jnp.int32)
+    slot2sym = jax.vmap(
+        lambda c: jnp.searchsorted(c, slots, side="right")
+    )(cum).astype(jnp.int32)
+    return {"freq": freq, "start": start, "slot2sym": slot2sym}
+
+
 def normalize_freqs(counts: np.ndarray, alphabet_valid=None) -> np.ndarray:
     """Turn raw histogram rows into M-sum tables (min freq 1 on valid
     symbols, capped at M-1). counts: (n_tables, A) float/int."""

@@ -38,6 +38,18 @@ def test_lossless_roundtrip_color(rng):
     np.testing.assert_array_equal(out, img.astype(np.int32))
 
 
+def test_lossless_roundtrip_image_tables(rng):
+    # >= 512x512 planes switch to two-pass per-image rANS tables
+    from ric_tpu.models.image_codec import _use_image_tables
+
+    img = _synthetic(rng, 512, 512)
+    cfg = CodecConfig(width=512, height=512, quant=0)
+    assert _use_image_tables(cfg)
+    data = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
 def test_lossy_quality(rng):
     img = _synthetic(rng, 64, 64)
     cfg = CodecConfig(width=64, height=64, quant=9, transform=Transform.CDF97)
