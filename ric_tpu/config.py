@@ -66,15 +66,25 @@ class CodecConfig:
     tile_w: int = 0
     tile_h: int = 0
 
+    # Optional explicit quantizer/lambda steps (used by the video codec,
+    # whose ladder differs from the still-image CLI's — see
+    # reference rududucodec.cpp:58-65). -1 = derive from `quant`.
+    q_step: int = -1
+    lam_step: int = -1
+
     @property
     def lossless(self) -> bool:
-        return self.quant == 0
+        return self.quant == 0 and self.q_step <= 0
 
     def luma_quant(self) -> int:
         """Quant step for the luma/gray plane (reference ric.cpp:164,171)."""
+        if self.q_step >= 0:
+            return self.q_step
         return quant_step(self.quant + SHIFT * 5) if self.quant else 0
 
     def luma_lambda(self) -> int:
+        if self.lam_step >= 0:
+            return self.lam_step
         return quant_step(self.quant + SHIFT * 5 - 7) if self.quant else 0
 
     def chroma_quant(self) -> int:

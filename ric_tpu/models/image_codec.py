@@ -104,7 +104,8 @@ def _lanes(cfg: CodecConfig) -> int:
     """Lane count trades VPU width against the fixed 4-byte/lane state
     flush; heavily-quantized streams are tiny, so they get fewer lanes."""
     npix = cfg.width * cfg.height
-    shift = 13 if tbl.rate_bucket(cfg.quant) == 3 else 11
+    coarse = tbl.rate_bucket(cfg.quant) == 3 or cfg.q_step >= 256
+    shift = 13 if coarse else 11
     l = 1 << max(6, (npix >> shift).bit_length())
     return min(4096, l)
 
@@ -566,6 +567,14 @@ def ycocg_to_rgb(y, co, cg, shift: int):
 def words_to_bytes(words, total_bits: int) -> bytes:
     nw = (int(total_bits) + 31) // 32
     return np.asarray(words[:nw]).tobytes()
+
+
+def bytes_to_words(data: bytes, cap: int) -> np.ndarray:
+    pad = (-len(data)) % 4
+    buf = np.frombuffer(data + b"\x00" * pad, dtype="<u4")
+    out = np.zeros(cap, dtype=np.uint32)
+    out[: len(buf)] = buf
+    return out
 
 
 def encode_plane_bytes(x, cfg: CodecConfig, chroma: bool):

@@ -87,7 +87,15 @@ def encode(tables, symbols, tids, active):
         xn = ((x1 // f) << M_BITS) + (x1 % f) + st
         return jnp.where(act, xn, x), (emit, word)
 
-    x0 = jnp.full((L,), RANS_L, jnp.uint32)
+    if symbols.shape[0] == 0:
+        return (
+            jnp.full((L,), RANS_L, jnp.uint32),
+            jnp.zeros((0, L), bool),
+            jnp.zeros((0, L), jnp.uint32),
+        )
+    # derive the initial carry from the inputs so its sharding "varying"
+    # type matches the scan outputs under shard_map
+    x0 = jnp.full((L,), RANS_L, jnp.uint32) + (tids[0] * 0).astype(jnp.uint32)
     rev = lambda a: jnp.flip(a, axis=0)
     xf, (emit_r, words_r) = jax.lax.scan(
         step, x0, (rev(symbols), rev(tids), rev(active))
@@ -123,6 +131,9 @@ def decode_section(tables, states, stream16, ptr, tids, active):
         x = jnp.where(act, xn, x)
         return (x, p + jnp.sum(ni)), jnp.where(act, sym, 0)
 
+    if tids.shape[0] == 0:
+        return jnp.zeros((0,) + tids.shape[1:], jnp.int32), states, ptr
+    ptr = ptr + (tids[0, 0] * 0)  # match varying type under shard_map
     (xf, pf), syms = jax.lax.scan(step, (states, ptr), (tids, active))
     return syms, xf, pf
 
