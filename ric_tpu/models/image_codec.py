@@ -617,10 +617,14 @@ def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
         streams += list(encode_plane_bytes(cg, cfg, chroma=True))
         streams += list(encode_plane_bytes(co, cfg, chroma=True))
     else:
+        mid = 1 << (cfg.input_depth - 1)
         if cfg.lossless:
-            x = img - 128
+            x = img - mid
+        elif cfg.input_depth == 8:
+            x = (img - mid) << SHIFT
         else:
-            x = (img - 128) << SHIFT
+            # 16-bit input already exceeds the 12-bit lossy working domain
+            x = img - mid
         streams += list(encode_plane_bytes(x, cfg, chroma=False))
     return container.write_container(cfg, streams)
 
@@ -637,7 +641,12 @@ def decode_image(data: bytes) -> np.ndarray:
         )
         return np.asarray(rgb).astype(np.int32)
     x = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
+    mid = 1 << (cfg.input_depth - 1)
+    peak = (1 << cfg.input_depth) - 1
     if cfg.lossless:
-        return (x + 128).astype(np.int32)
-    x = 128 + ((x + (1 << (SHIFT - 1))) >> SHIFT)
-    return np.clip(x, 0, 255).astype(np.int32)
+        return (x + mid).astype(np.int32)
+    if cfg.input_depth == 8:
+        x = mid + ((x + (1 << (SHIFT - 1))) >> SHIFT)
+    else:
+        x = x + mid
+    return np.clip(x, 0, peak).astype(np.int32)
