@@ -23,7 +23,7 @@ from ric_tpu.utils.bits import bitlen
 _FIB = [1, 2]
 while _FIB[-1] < (1 << 31):
     _FIB.append(_FIB[-1] + _FIB[-2])
-FIB = np.array(_FIB[:32], np.int64)  # reference nbFibo (muxcodec.cpp:131)
+FIB = np.array(_FIB[:32], np.int32)  # reference nbFibo (muxcodec.cpp:131)
 
 
 # --------------------------------------------------------------------------
@@ -93,7 +93,7 @@ def fibonacci_encode(v):
     """v >= 0. Zeckendorf decomposition over FIB (1,2,3,5,...), bit i set if
     FIB[i] used; terminated by an extra 1 after the highest bit. LSB-first
     field: bit i of the field = FIB[i] used; terminator at bit (top+1)."""
-    v = v.astype(jnp.int64) + 1  # code positive integers; shift domain
+    v = v.astype(jnp.uint32) + 1  # code positive integers; shift domain
     fib = jnp.asarray(FIB)
 
     def step(i, carry):
@@ -101,14 +101,14 @@ def fibonacci_encode(v):
         idx = 31 - i
         take = rem >= fib[idx]
         rem = jnp.where(take, rem - fib[idx], rem)
-        bits = bits | jnp.where(take, jnp.int64(1) << idx, 0)
+        bits = bits | jnp.where(take, jnp.uint32(1) << idx, jnp.uint32(0))
         return rem, bits
 
     _, bits = jax.lax.fori_loop(
         0, 32, step, (v, jnp.zeros_like(v))
     )
-    top = bitlen((bits & 0xFFFFFFFF).astype(jnp.int32)) - 1
-    field = (bits | (jnp.int64(1) << (top + 1))).astype(jnp.uint32)
+    top = bitlen(bits.astype(jnp.int32)) - 1
+    field = bits | (jnp.uint32(1) << (top + 1))
     return field, top + 2
 
 
@@ -119,7 +119,7 @@ def fibonacci_decode_at(words, offs):
     low = pair & (~pair + 1)
     term = bitlen(low.astype(jnp.int32)) - 1  # position of the second 1
     mask = (jnp.uint32(1) << term) - 1
-    zeck = (probe & mask).astype(jnp.int64)
+    zeck = (probe & mask).astype(jnp.int32)
     fib = jnp.asarray(FIB)
     val = jnp.zeros_like(zeck)
 
@@ -145,7 +145,7 @@ def _taboo_counts(n: int, max_digits: int = 10):
     for i in range(1, max_digits + 1):
         counts.append(counts[-1] * b)
     cum = np.cumsum(counts)
-    return np.array(counts, np.int64), cum.astype(np.int64)
+    return np.array(counts, np.int32), cum.astype(np.int32)
 
 
 def taboo_encode(v, n: int = 2, max_digits: int = 10):
@@ -154,13 +154,13 @@ def taboo_encode(v, n: int = 2, max_digits: int = 10):
     32-len... use n=2, v < ~3^9 for 32-bit fields."""
     counts, cum = _taboo_counts(n, max_digits)
     b = (1 << n) - 1
-    v = v.astype(jnp.int64)
+    v = v.astype(jnp.int32)
     ndig = jnp.sum((v >= jnp.asarray(cum)[None, :].T).astype(jnp.int32), axis=0)
     rem = v - jnp.where(ndig > 0, jnp.asarray(cum)[jnp.maximum(ndig - 1, 0)], 0)
 
     def step(i, carry):
         rem, field = carry
-        digit = (rem % b).astype(jnp.int64) + 1  # 1..b (avoid taboo 0)
+        digit = (rem % b).astype(jnp.int32) + 1  # 1..b (avoid taboo 0)
         use = i < ndig
         field = jnp.where(use, field | (digit << (n * i)), field)
         rem = jnp.where(use, rem // b, rem)
@@ -190,10 +190,10 @@ def taboo_decode_at(words, offs, n: int = 2, max_digits: int = 10):
         stop = (digit == 0) & ~done
         done = done | stop
         ndig = ndig + (~done).astype(jnp.int32)
-    val = jnp.zeros(probe.shape, jnp.int64)
-    mul = jnp.ones(probe.shape, jnp.int64)
+    val = jnp.zeros(probe.shape, jnp.int32)
+    mul = jnp.ones(probe.shape, jnp.int32)
     for i in range(max_digits):
-        digit = ((probe >> (n * i)) & ((1 << n) - 1)).astype(jnp.int64)
+        digit = ((probe >> (n * i)) & ((1 << n) - 1)).astype(jnp.int32)
         use = i < ndig
         val = val + jnp.where(use, (digit - 1) * mul, 0)
         mul = jnp.where(use, mul * b, mul)
