@@ -94,7 +94,7 @@ def fibonacci_encode(v):
     FIB[i] used; terminated by an extra 1 after the highest bit. LSB-first
     field: bit i of the field = FIB[i] used; terminator at bit (top+1)."""
     v = v.astype(jnp.uint32) + 1  # code positive integers; shift domain
-    fib = jnp.asarray(FIB)
+    fib = jnp.asarray(FIB, jnp.uint32)
 
     def step(i, carry):
         rem, bits = carry
@@ -117,8 +117,8 @@ def fibonacci_decode_at(words, offs):
     # find the first "11" pair: t = probe & (probe >> 1); lowest set bit
     pair = probe & (probe >> 1)
     low = pair & (~pair + 1)
-    term = bitlen(low.astype(jnp.int32)) - 1  # position of the second 1
-    mask = (jnp.uint32(1) << term) - 1
+    term = bitlen(low.astype(jnp.int32)) - 1  # top Zeckendorf bit position
+    mask = (jnp.uint32(1) << (term + 1)) - 1  # include the top bit itself
     zeck = (probe & mask).astype(jnp.int32)
     fib = jnp.asarray(FIB)
     val = jnp.zeros_like(zeck)
