@@ -13,6 +13,7 @@ absolute bit offset `off` = bit (off & 31) of word (off >> 5).
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -32,6 +33,31 @@ def field_mask(lens):
     return jnp.where(lens == 0, jnp.uint32(0), m.astype(jnp.uint32))
 
 
+def _seg_or_last(keys, contrib, cap: int):
+    """OR-combine contributions sharing the same (sorted) key, then gather
+    each output word's combined value by binary search of the key run.
+
+    Replaces scatter-add: XLA TPU scatter serializes (~50M updates/s) while
+    this is an associative scan + sorted searchsorted — all parallel.
+    """
+    n = keys.shape[0]
+    start = jnp.concatenate(
+        [jnp.ones((1,), bool), keys[1:] != keys[:-1]]
+    )
+
+    def comb(a, b):
+        f1, v1 = a
+        f2, v2 = b
+        return f1 | f2, v2 | jnp.where(f2, jnp.uint32(0), v1)
+
+    _, acc = jax.lax.associative_scan(comb, (start, contrib))
+    w = jnp.arange(cap, dtype=keys.dtype)
+    idx = jnp.searchsorted(keys, w, side="right").astype(jnp.int32) - 1
+    idx_c = jnp.clip(idx, 0, n - 1)
+    hit = (idx >= 0) & (keys[idx_c] == w)
+    return jnp.where(hit, acc[idx_c], jnp.uint32(0))
+
+
 def pack(vals, lens, cap_words: int):
     """Pack fields (vals masked to lens bits) into a uint32 word buffer.
 
@@ -44,9 +70,8 @@ def pack(vals, lens, cap_words: int):
     b = (offs & 31).astype(jnp.uint32)
     low = vals << b
     high = (vals >> (31 - b)) >> 1
-    words = jnp.zeros((cap_words,), jnp.uint32)
-    words = words.at[w0].add(low, mode="drop")
-    words = words.at[w0 + 1].add(high, mode="drop")
+    words = _seg_or_last(w0, low, cap_words)
+    words = words | _seg_or_last(w0 + 1, high, cap_words)
     return words, total
 
 

@@ -61,10 +61,19 @@ def build_tables(freqs: np.ndarray):
     for t in range(ntab):
         for s in range(alpha):
             slot2sym[t, starts[t, s] : starts[t, s] + freqs[t, s]] = s
+    # fused decode LUT: one gather per decoded symbol
+    # layout: sym(5b) | freq(12b)<<5 | start(12b)<<17
+    t_idx = np.arange(freqs.shape[0])[:, None]
+    slot_lut = (
+        slot2sym.astype(np.int64)
+        | (freqs[t_idx, slot2sym].astype(np.int64) << 5)
+        | (starts[t_idx, slot2sym].astype(np.int64) << 17)
+    ).astype(np.uint32)
     return {
         "freq": jnp.asarray(freqs, jnp.uint32),
         "start": jnp.asarray(starts, jnp.uint32),
         "slot2sym": jnp.asarray(slot2sym, jnp.int32),
+        "slot_lut": jnp.asarray(slot_lut),
     }
 
 
@@ -73,14 +82,18 @@ def encode(tables, symbols, tids, active):
 
     symbols/tids: (T, L) int32; active: (T, L) bool.
     Returns (final_states (L,) u32, emit (T, L) bool, words (T, L) u32).
+
+    The (freq, start) lookups happen once as a whole-grid gather before the
+    scan — symbols are known upfront on the encode side — so the scan body
+    is pure arithmetic (in-scan gathers dominate TPU scan time).
     """
     freq, start = tables["freq"], tables["start"]
     L = symbols.shape[1]
+    f_all = jnp.where(active, freq[tids, symbols], 1).astype(jnp.uint32)
+    st_all = jnp.where(active, start[tids, symbols], 0).astype(jnp.uint32)
 
     def step(x, inp):
-        sym, tid, act = inp
-        f = jnp.where(act, freq[tid, sym], 1).astype(jnp.uint32)
-        st = jnp.where(act, start[tid, sym], 0).astype(jnp.uint32)
+        f, st, act = inp
         emit = act & (x >= (f << 20))
         word = x & jnp.uint32(0xFFFF)
         x1 = jnp.where(emit, x >> 16, x)
@@ -98,7 +111,7 @@ def encode(tables, symbols, tids, active):
     x0 = jnp.full((L,), RANS_L, jnp.uint32) + (tids[0] * 0).astype(jnp.uint32)
     rev = lambda a: jnp.flip(a, axis=0)
     xf, (emit_r, words_r) = jax.lax.scan(
-        step, x0, (rev(symbols), rev(tids), rev(active))
+        step, x0, (rev(f_all), rev(st_all), rev(active))
     )
     return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
 
@@ -110,7 +123,7 @@ def decode_section(tables, states, stream16, ptr, tids, active):
     ptr: scalar index of the next unread word; tids/active: (T, L).
     Returns (symbols (T, L) i32, new_states, new_ptr).
     """
-    freq, start, slot2sym = tables["freq"], tables["start"], tables["slot2sym"]
+    slot_lut = tables["slot_lut"]
     if stream16.shape[0] == 0:
         stream16 = jnp.zeros((1,), jnp.uint32)
     n = stream16.shape[0]
@@ -119,9 +132,10 @@ def decode_section(tables, states, stream16, ptr, tids, active):
         x, p = carry
         tid, act = inp
         slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
-        sym = slot2sym[tid, slot]
-        f = jnp.where(act, freq[tid, sym], 1).astype(jnp.uint32)
-        st = jnp.where(act, start[tid, sym], 0).astype(jnp.uint32)
+        entry = slot_lut[tid, slot]  # one fused gather per symbol
+        sym = (entry & jnp.uint32(31)).astype(jnp.int32)
+        f = jnp.where(act, (entry >> 5) & jnp.uint32(0xFFF), 1)
+        st = jnp.where(act, entry >> 17, 0)
         xn = f * (x >> M_BITS) + slot.astype(jnp.uint32) - st
         need = act & (xn < RANS_L)
         ni = need.astype(jnp.int32)
@@ -211,7 +225,14 @@ def device_build_tables(freq):
     slot2sym = jax.vmap(
         lambda c: jnp.searchsorted(c, slots, side="right")
     )(cum).astype(jnp.int32)
-    return {"freq": freq, "start": start, "slot2sym": slot2sym}
+    t_idx = jnp.arange(freq.shape[0])[:, None]
+    slot_lut = (
+        slot2sym.astype(jnp.uint32)
+        | (freq[t_idx, slot2sym] << 5)
+        | (start[t_idx, slot2sym] << 17)
+    )
+    return {"freq": freq, "start": start, "slot2sym": slot2sym,
+            "slot_lut": slot_lut}
 
 
 def normalize_freqs(counts: np.ndarray, alphabet_valid=None) -> np.ndarray:
