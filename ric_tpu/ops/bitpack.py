@@ -38,19 +38,21 @@ def _seg_or_last(keys, contrib, cap: int):
     each output word's combined value by binary search of the key run.
 
     Replaces scatter-add: XLA TPU scatter serializes (~50M updates/s) while
-    this is an associative scan + sorted searchsorted — all parallel.
+    this is log2(N) shifted-select OR passes + a sorted searchsorted — all
+    parallel elementwise/gather work. (Manually unrolled rather than
+    lax.associative_scan, whose recursive lowering compiles poorly at
+    tens of millions of elements.)
     """
     n = keys.shape[0]
-    start = jnp.concatenate(
-        [jnp.ones((1,), bool), keys[1:] != keys[:-1]]
-    )
-
-    def comb(a, b):
-        f1, v1 = a
-        f2, v2 = b
-        return f1 | f2, v2 | jnp.where(f2, jnp.uint32(0), v1)
-
-    _, acc = jax.lax.associative_scan(comb, (start, contrib))
+    acc = contrib
+    steps = max(n - 1, 1).bit_length()
+    for k in range(steps):
+        d = 1 << k
+        if d >= n:
+            break
+        same = keys[d:] == keys[:-d]
+        shifted = jnp.where(same, acc[:-d], jnp.uint32(0))
+        acc = acc.at[d:].set(acc[d:] | shifted)  # contiguous update, no scatter
     w = jnp.arange(cap, dtype=keys.dtype)
     idx = jnp.searchsorted(keys, w, side="right").astype(jnp.int32) - 1
     idx_c = jnp.clip(idx, 0, n - 1)
