@@ -106,9 +106,9 @@ def encode(tables, symbols, tids, active):
             jnp.zeros((0, L), bool),
             jnp.zeros((0, L), jnp.uint32),
         )
-    # derive the initial carry from the inputs so its sharding "varying"
-    # type matches the scan outputs under shard_map
-    x0 = jnp.full((L,), RANS_L, jnp.uint32) + (tids[0] * 0).astype(jnp.uint32)
+    # derive the initial carry from data-dependent inputs so its sharding
+    # "varying" type matches the scan outputs under shard_map
+    x0 = jnp.full((L,), RANS_L, jnp.uint32) + (f_all[0] * 0)
     rev = lambda a: jnp.flip(a, axis=0)
     xf, (emit_r, words_r) = jax.lax.scan(
         step, x0, (rev(f_all), rev(st_all), rev(active))
@@ -147,7 +147,11 @@ def decode_section(tables, states, stream16, ptr, tids, active):
 
     if tids.shape[0] == 0:
         return jnp.zeros((0,) + tids.shape[1:], jnp.int32), states, ptr
-    ptr = ptr + (tids[0, 0] * 0)  # match varying type under shard_map
+    # tie carries to guaranteed-varying inputs (shard_map varying typing)
+    anchor = (states[0] * 0).astype(jnp.int32)
+    ptr = ptr + anchor
+    tids = tids + anchor
+    active = active & (anchor == 0)
     (xf, pf), syms = jax.lax.scan(step, (states, ptr), (tids, active))
     return syms, xf, pf
 

@@ -24,6 +24,7 @@ from jax.experimental.shard_map import shard_map
 
 from ric_tpu.config import CodecConfig
 from ric_tpu.models import image_codec
+from ric_tpu.models import tables as tbl_mod
 
 
 def build_tiled_encode(tile_cfg: CodecConfig, mesh):
@@ -83,3 +84,185 @@ def decode_image_tiled(streams: list[bytes], cfg: CodecConfig,
             streams[2 * t], streams[2 * t + 1], tile_cfg, chroma=False
         )
     return out
+
+
+# --------------------------------------------------------------------------
+# Mode 2: globally-consistent DWT (ppermute halos) + per-tile entropy.
+# Decoded pixels are bit-identical to the untiled codec; only the stream
+# layout differs (per-tile substreams).
+# --------------------------------------------------------------------------
+
+
+def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int):
+    """Per-tile band plans under the GLOBAL level recursion: every band's
+    tile slice must align to whole 4-px blocks."""
+    plans_g, dims = image_codec.make_plane_plans(cfg, chroma)
+    plans = []
+    for p in plans_g:
+        h, w = p.shape
+        assert w % sp == 0 and (w // sp) % 4 == 0, (
+            f"band {p.name}: width {w} not tileable by {sp}"
+        )
+        shape = (h, w // sp)
+        plans.append(
+            image_codec.BandPlan(
+                p.name, p.orient, p.level, p.kind, shape,
+                image_codec._grid(shape), p.q, p.rd,
+            )
+        )
+    return plans, dims
+
+
+def _tile_cfg(cfg: CodecConfig, sp: int) -> CodecConfig:
+    import dataclasses
+
+    return dataclasses.replace(cfg, width=cfg.width // sp)
+
+
+def build_tiled_encode_global(cfg: CodecConfig, mesh):
+    """Returns jitted fn: (H, W) int32 -> (wordsA (sp, capA), tA (sp,),
+    wordsB (sp, capB), tB (sp,)). Global-DWT mode."""
+    sp = mesh.shape["sp"]
+    plans, dims = make_tile_plans(cfg, False, sp)
+    tcfg = _tile_cfg(cfg, sp)
+    L = image_codec._lanes(tcfg)
+    capA = image_codec._cap_words_raw(plans) + (
+        image_codec._TABLE_SECTION_BITS // 32 + 1
+    )
+    capB = image_codec._cap_words_rans(plans, L)
+    image_tables = image_codec._use_image_tables(tcfg)
+    rtables = tbl_mod.get_tables(tbl_mod.rate_bucket(cfg.quant))
+    valid = jnp.asarray(tbl_mod._VALID)
+    vrows = jnp.asarray(image_codec._VALID_POS[:, 0])
+    vcols = jnp.asarray(image_codec._VALID_POS[:, 1])
+    from ric_tpu.parallel import halo_dwt
+    from ric_tpu.ops import bitpack, rans
+    from ric_tpu.config import Transform
+
+    def local(xt):
+        pyr = halo_dwt.dwt_tiled(
+            xt, Transform(cfg.transform), cfg.levels, cfg.width, "sp"
+        )
+        rawv, rawl, syms, tids, acts, _d = image_codec._sections_from_pyramid(
+            plans, L, pyr
+        )
+        if image_tables:
+            idx = (
+                tids * tbl_mod.ALPHABET
+                + jnp.clip(syms, 0, tbl_mod.ALPHABET - 1)
+            ).ravel()
+            hist = jnp.zeros((tbl_mod.N_TABLES * tbl_mod.ALPHABET,), jnp.int32)
+            hist = hist.at[idx].add(
+                acts.ravel().astype(jnp.int32), mode="drop"
+            ).reshape(tbl_mod.N_TABLES, tbl_mod.ALPHABET)
+            freq = rans.device_normalize(hist, valid)
+            enc_tables = {
+                "freq": freq.astype(jnp.uint32),
+                "start": (jnp.cumsum(freq, axis=1) - freq).astype(jnp.uint32),
+            }
+            tsec = freq[vrows, vcols]
+            rawv = jnp.concatenate([tsec, rawv])
+            rawl = jnp.concatenate(
+                [jnp.full((image_codec._N_VALID,), 12, jnp.int32), rawl]
+            )
+        else:
+            enc_tables = rtables
+        wordsA, tA = bitpack.pack(rawv, rawl, capA)
+        states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
+        bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
+        bl = jnp.concatenate(
+            [jnp.full((L,), 32, jnp.int32),
+             16 * emit.ravel().astype(jnp.int32)]
+        )
+        wordsB, tB = bitpack.pack(bv, bl, capB)
+        return wordsA[None], tA[None], wordsB[None], tB[None]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(None, "sp"),),
+        out_specs=(P("sp", None), P("sp"), P("sp", None), P("sp")),
+    )
+    return jax.jit(fn)
+
+
+def encode_image_tiled_global(img, cfg: CodecConfig, mesh):
+    """Global-DWT tiled encode of one plane. Returns per-tile substreams
+    [A0, B0, A1, B1, ...] in tile order (deterministic stitch)."""
+    sp = mesh.shape["sp"]
+    fn = build_tiled_encode_global(cfg, mesh)
+    wA, tA, wB, tB = fn(jnp.asarray(img, jnp.int32))
+    streams = []
+    for t in range(sp):
+        streams.append(image_codec.words_to_bytes(wA[t], int(tA[t])))
+        streams.append(image_codec.words_to_bytes(wB[t], int(tB[t])))
+    return streams
+
+
+def build_tiled_decode_global(cfg: CodecConfig, mesh):
+    sp = mesh.shape["sp"]
+    plans, dims = make_tile_plans(cfg, False, sp)
+    tcfg = _tile_cfg(cfg, sp)
+    L = image_codec._lanes(tcfg)
+    nlev = len(dims)
+    image_tables = image_codec._use_image_tables(tcfg)
+    rtables = tbl_mod.get_tables(tbl_mod.rate_bucket(cfg.quant))
+    vrows = jnp.asarray(image_codec._VALID_POS[:, 0])
+    vcols = jnp.asarray(image_codec._VALID_POS[:, 1])
+    from ric_tpu.parallel import halo_dwt
+    from ric_tpu.ops import bitpack, rans
+    from ric_tpu.config import Transform
+
+    def local(wordsA, statesB, stream16):
+        wordsA, statesB, stream16 = wordsA[0], statesB[0], stream16[0]
+        if image_tables:
+            offs = jnp.arange(image_codec._N_VALID, dtype=jnp.int32) * 12
+            lens = jnp.full((image_codec._N_VALID,), 12, jnp.int32)
+            fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
+            freq = jnp.zeros((tbl_mod.N_TABLES, tbl_mod.ALPHABET), jnp.int32)
+            freq = freq.at[vrows, vcols].set(fvals)
+            dtables = rans.device_build_tables(freq)
+            coeffs = image_codec._decode_sections(
+                plans, L, dtables, nlev, wordsA, statesB, stream16,
+                baseA0=image_codec._TABLE_SECTION_BITS,
+            )
+        else:
+            coeffs = image_codec._decode_sections(
+                plans, L, rtables, nlev, wordsA, statesB, stream16
+            )
+        pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
+        return halo_dwt.idwt_tiled(
+            pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp"
+        )
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P("sp", None), P("sp", None), P("sp", None)),
+        out_specs=P(None, "sp"),
+    )
+    return jax.jit(fn)
+
+
+def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
+    sp = mesh.shape["sp"]
+    plans, _ = make_tile_plans(cfg, False, sp)
+    tcfg = _tile_cfg(cfg, sp)
+    L = image_codec._lanes(tcfg)
+    capA = image_codec._cap_words_raw(plans) + (
+        image_codec._TABLE_SECTION_BITS // 32 + 1
+    )
+    capB16 = image_codec._cap_words_rans(plans, L) * 2
+    wA = np.zeros((sp, capA), np.uint32)
+    states = np.zeros((sp, L), np.uint32)
+    s16 = np.zeros((sp, capB16), np.uint32)
+    for t in range(sp):
+        a, b = streams[2 * t], streams[2 * t + 1]
+        bufA = np.frombuffer(a + b"\x00" * ((-len(a)) % 4), dtype="<u4")
+        wA[t, : len(bufA)] = bufA
+        b16 = np.frombuffer(b + b"\x00" * ((-len(b)) % 2), dtype="<u2").astype(
+            np.uint32
+        )
+        states[t] = b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)
+        body = b16[2 * L :]
+        s16[t, : len(body)] = body
+    fn = build_tiled_decode_global(cfg, mesh)
+    out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16))
+    return np.asarray(out)

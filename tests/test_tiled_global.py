@@ -1,0 +1,47 @@
+"""Mode-2 tiled codec: global DWT over the mesh + per-tile entropy.
+
+Decoded output must be bit-identical to the untiled codec at the same
+config (SURVEY.md §4.4 metamorphic requirement, realized at the pixel
+level; streams differ by tile layout only).
+"""
+import numpy as np
+import pytest
+
+import jax
+
+from ric_tpu.config import CodecConfig, Transform
+from ric_tpu.models import image_codec
+from ric_tpu.parallel import tiling
+from ric_tpu.parallel.mesh import make_mesh
+
+needs_8 = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def _img(rng, h, w):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 128 + 70 * np.sin(xx / 17.0) * np.cos(yy / 11.0)
+    img = img + rng.normal(0, 5, (h, w))
+    return np.clip(img, 0, 255).astype(np.int32) - 128
+
+
+@needs_8
+@pytest.mark.parametrize("quant", [0, 9])
+def test_tiled_global_matches_untiled(rng, quant):
+    h, w = 64, 512
+    x = _img(rng, h, w)
+    if quant:
+        x = x << 4
+    cfg = CodecConfig(width=w, height=h, quant=quant,
+                      transform=Transform.CDF53 if quant == 0 else Transform.CDF97,
+                      levels=3)
+    mesh = make_mesh(4, dp=1)
+    streams = tiling.encode_image_tiled_global(x, cfg, mesh)
+    out = tiling.decode_image_tiled_global(streams, cfg, mesh)
+    # untiled reference result
+    a, b = image_codec.encode_plane_bytes(x, cfg, chroma=False)
+    ref = image_codec.decode_plane_bytes(a, b, cfg, chroma=False)
+    np.testing.assert_array_equal(out, ref)
+    if quant == 0:
+        np.testing.assert_array_equal(out, x)
