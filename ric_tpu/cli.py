@@ -60,15 +60,12 @@ def main(argv=None) -> int:
         out = args.outfile or infile + ".pnm"
         with open(infile, "rb") as f:
             data = f.read()
-        img = image_codec.decode_image(data)
-        if args.dither and img.ndim == 2:
-            from ric_tpu.utils.container import read_container
+        img = image_codec.decode_image(data, dither=args.dither)
+        from ric_tpu.utils.container import read_container
 
-            cfg, _, _ = read_container(data)
-            if not cfg.lossless:
-                # decode_image already descales; redo from raw plane
-                pass
-        pnm.write_pnm(out, img.astype(np.uint8))
+        cfg, _, _ = read_container(data)
+        dt = np.uint16 if cfg.input_depth == 16 else np.uint8
+        pnm.write_pnm(out, img.astype(dt))
         return 0
 
     trans = args.trans

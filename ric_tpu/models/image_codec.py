@@ -607,6 +607,37 @@ def decode_plane_bytes(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     return np.asarray(out)
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_batch_encoder(cfg: CodecConfig, chroma: bool):
+    return jax.jit(jax.vmap(build_encode_plane(cfg, chroma)))
+
+
+def encode_batch(imgs: np.ndarray, cfg: CodecConfig, mesh=None) -> list[bytes]:
+    """Data-parallel batch encode of (B, H, W) grayscale planes.
+
+    With a mesh, the batch axis is sharded over its 'dp' axis (the Kodak-24
+    corpus configuration of BASELINE.json); without one, the batch is
+    vmapped on a single device. Returns one RTP1 container per image.
+    """
+    imgs = jnp.asarray(imgs, jnp.int32)
+    mid = 1 << (cfg.input_depth - 1)
+    x = (imgs - mid) if cfg.lossless else ((imgs - mid) << SHIFT)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        x = jax.device_put(x, NamedSharding(mesh, P("dp", None, None)))
+    fn = _cached_batch_encoder(cfg, False)
+    wA, tA, wB, tB = fn(x)
+    out = []
+    for i in range(imgs.shape[0]):
+        streams = [
+            words_to_bytes(wA[i], int(tA[i])),
+            words_to_bytes(wB[i], int(tB[i])),
+        ]
+        out.append(container.write_container(cfg, streams))
+    return out
+
+
 def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
     """img: (H,W) or (H,W,3) uint8/uint16. Returns RTP1 container bytes."""
     img = jnp.asarray(img, jnp.int32)
@@ -629,7 +660,7 @@ def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
     return container.write_container(cfg, streams)
 
 
-def decode_image(data: bytes) -> np.ndarray:
+def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
     cfg, streams, tiles = container.read_container(data)
     if cfg.channels == 3:
         y = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
@@ -646,6 +677,10 @@ def decode_image(data: bytes) -> np.ndarray:
     if cfg.lossless:
         return (x + mid).astype(np.int32)
     if cfg.input_depth == 8:
+        if dither:
+            from ric_tpu.cli import dither as _dither
+
+            return _dither(np.asarray(x)).astype(np.int32)
         x = mid + ((x + (1 << (SHIFT - 1))) >> SHIFT)
     else:
         x = x + mid
