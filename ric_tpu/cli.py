@@ -63,7 +63,7 @@ def main(argv=None) -> int:
         img = image_codec.decode_image(data, dither=args.dither)
         from ric_tpu.utils.container import read_container
 
-        cfg, _, _ = read_container(data)
+        cfg, _, _, _ = read_container(data)
         dt = np.uint16 if cfg.input_depth == 16 else np.uint8
         pnm.write_pnm(out, img.astype(dt))
         return 0

@@ -382,15 +382,31 @@ def _rans_read(rtables, states, stream16, ptr, syms_shape, tid, act, L):
     return rans.from_grid(syms, n).reshape(syms_shape), states, ptr
 
 
-def _decode_sections(plans, L, rtables, nlev, wordsA, statesB, stream16,
-                     baseA0: int = 0):
+class RansReader:
+    """Model-symbol reader over the interleaved-rANS substream (the fast
+    jit path). ArchivalReader in this module is the drop-in serial-coder
+    equivalent."""
+
+    def __init__(self, rtables, statesB, stream16, L):
+        self.rtables, self.L = rtables, L
+        self.stream16 = stream16
+        self.states, self.ptr = statesB, jnp.int32(0)
+
+    def read(self, shape, tid, act):
+        syms, self.states, self.ptr = _rans_read(
+            self.rtables, self.states, self.stream16, self.ptr, shape,
+            tid, act, self.L,
+        )
+        return syms
+
+
+def _decode_sections(plans, L, reader, nlev, wordsA, baseA0: int = 0):
     """Mirror of _sections_from_pyramid: decode all band coefficient arrays
-    from the two substreams. Returns {band name: dequantized coeffs}."""
+    from the raw substream + a model-symbol reader. Returns
+    {band name: dequantized coeffs}."""
     plan_by_name = {p.name: p for p in plans}
     if True:
         baseA = jnp.int32(baseA0)
-        ptr = jnp.int32(0)
-        states = statesB
         coeffs, sig_maps, u2d_pad = {}, {}, {}
 
         for p in plans:
@@ -412,24 +428,15 @@ def _decode_sections(plans, L, rtables, nlev, wordsA, statesB, stream16,
                     a = blocks.upsample_sig(
                         sig_maps[f"{p.orient}{p.level+1}"], grid
                     )
-                z, states, ptr = _rans_read(
-                    rtables, states, stream16, ptr, grid,
-                    tbl.Z_BASE + ctx, a, L,
-                )
+                z = reader.read(grid, tbl.Z_BASE + ctx, a)
                 s_mask = a & (z == 0)
                 sig_maps[p.name] = s_mask
             # k section
             if p.kind == "high":
-                kraw, states, ptr = _rans_read(
-                    rtables, states, stream16, ptr, grid,
-                    tbl.KH_BASE + ctx, s_mask, L,
-                )
+                kraw = reader.read(grid, tbl.KH_BASE + ctx, s_mask)
                 k = jnp.where(s_mask, kraw + 1, 0)
             else:
-                k, states, ptr = _rans_read(
-                    rtables, states, stream16, ptr, grid,
-                    tbl.KL_BASE + ctx, s_mask, L,
-                )
+                k = reader.read(grid, tbl.KL_BASE + ctx, s_mask)
                 k = jnp.where(s_mask, k, 0)
             # pattern
             pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
@@ -446,11 +453,11 @@ def _decode_sections(plans, L, rtables, nlev, wordsA, statesB, stream16,
             )
             # s section
             sctx = jnp.clip(k - 1, 0, 15)
-            s, states, ptr = _rans_read(
-                rtables, states, stream16, ptr, grid + (16,),
+            s = reader.read(
+                grid + (16,),
                 (tbl.S_BASE + sctx)[..., None]
                 * jnp.ones((1, 1, 16), jnp.int32),
-                active, L,
+                active,
             )
             # refinement + sign
             flen = jnp.where(active, jnp.maximum(s, 1), 0)
@@ -503,19 +510,90 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
             freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
             freq = freq.at[vrows, vcols].set(fvals)
             dtables = rans.device_build_tables(freq)
-            wordsA_body = wordsA  # band sections start after the table bits
+            reader = RansReader(dtables, statesB, stream16, L)
             coeffs = _decode_sections(
-                plans, L, dtables, nlev, wordsA_body, statesB, stream16,
+                plans, L, reader, nlev, wordsA,
                 baseA0=_TABLE_SECTION_BITS,
             )
         else:
-            coeffs = _decode_sections(
-                plans, L, rtables, nlev, wordsA, statesB, stream16
-            )
+            reader = RansReader(rtables, statesB, stream16, L)
+            coeffs = _decode_sections(plans, L, reader, nlev, wordsA)
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 
     return jax.jit(decode_plane)
+
+
+# --------------------------------------------------------------------------
+# Archival profile: model symbols through the native serial ADAPTIVE range
+# coder (max compression; C++ host backend) instead of interleaved rANS.
+# --------------------------------------------------------------------------
+
+
+def _archival_seed(cfg: CodecConfig) -> np.ndarray:
+    return np.frombuffer(
+        tbl.get_freqs(tbl.rate_bucket(cfg.quant)), np.int32
+    ).reshape(tbl.N_TABLES, tbl.ALPHABET)
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_archival_front(cfg: CodecConfig, chroma: bool):
+    """jit: x -> (wordsA, totalA, syms, tids, acts); no rANS table section."""
+    plans, _ = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
+    capA = _cap_words_raw(plans)
+
+    def front(x):
+        rawv, rawl, syms, tids, acts, _d = _plane_sections(cfg, plans, L, x)
+        wordsA, totalA = bitpack.pack(rawv, rawl, capA)
+        return wordsA, totalA, syms, tids, acts
+
+    return jax.jit(front)
+
+
+def encode_plane_archival(x, cfg: CodecConfig, chroma: bool):
+    """Returns (streamA, streamB) with B = serial range-coded symbols."""
+    from ric_tpu.utils import native
+
+    wordsA, totalA, syms, tids, acts = _cached_archival_front(cfg, chroma)(
+        jnp.asarray(x, jnp.int32)
+    )
+    enc = native.SerialEncoder(_archival_seed(cfg))
+    enc.put(np.asarray(syms), np.asarray(tids), np.asarray(acts))
+    return words_to_bytes(wordsA, int(totalA)), enc.finish()
+
+
+class ArchivalReader:
+    """Serial-decoder-backed symbol reader (mirror of RansReader). Sections
+    round-trip through the host; the surrounding jnp ops run eagerly."""
+
+    def __init__(self, cfg: CodecConfig, streamB: bytes):
+        from ric_tpu.utils import native
+
+        self.dec = native.SerialDecoder(_archival_seed(cfg), streamB)
+
+    def read(self, shape, tid, act):
+        tid_b, _ = jnp.broadcast_arrays(tid, jnp.zeros(shape, jnp.int32))
+        act_b = jnp.broadcast_to(act, shape)
+        out = self.dec.get(
+            np.asarray(tid_b).ravel(), np.asarray(act_b).ravel()
+        )
+        return jnp.asarray(out.reshape(shape), jnp.int32)
+
+
+def decode_plane_archival(streamA: bytes, streamB: bytes, cfg: CodecConfig,
+                          chroma: bool) -> np.ndarray:
+    plans, dims = make_plane_plans(cfg, chroma)
+    L = _lanes(cfg)
+    nlev = len(dims)
+    capA = _cap_words_raw(plans)
+    wordsA = jnp.asarray(bytes_to_words(streamA, capA))
+    reader = ArchivalReader(cfg, streamB)
+    coeffs = _decode_sections(plans, L, reader, nlev, wordsA)
+    reader.dec.close()
+    pyr = _pyramid_from_coeffs(coeffs, nlev)
+    out = lifting.idwt(pyr, cfg.width, cfg.height, Transform(cfg.transform))
+    return np.asarray(out)
 
 
 # --------------------------------------------------------------------------
@@ -638,15 +716,22 @@ def encode_batch(imgs: np.ndarray, cfg: CodecConfig, mesh=None) -> list[bytes]:
     return out
 
 
-def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
-    """img: (H,W) or (H,W,3) uint8/uint16. Returns RTP1 container bytes."""
+def encode_image(img: np.ndarray, cfg: CodecConfig,
+                 profile: str = "rans") -> bytes:
+    """img: (H,W) or (H,W,3) uint8/uint16. Returns RTP1 container bytes.
+
+    profile: "rans" (parallel, default) or "archival" (serial adaptive
+    range coder via the native backend — max compression)."""
     img = jnp.asarray(img, jnp.int32)
+    enc = (
+        encode_plane_archival if profile == "archival" else encode_plane_bytes
+    )
     streams = []
     if cfg.channels == 3:
         y, co, cg = rgb_to_ycocg(img, 0 if cfg.lossless else SHIFT)
-        streams += list(encode_plane_bytes(y, cfg, chroma=False))
-        streams += list(encode_plane_bytes(cg, cfg, chroma=True))
-        streams += list(encode_plane_bytes(co, cfg, chroma=True))
+        streams += list(enc(y, cfg, chroma=False))
+        streams += list(enc(cg, cfg, chroma=True))
+        streams += list(enc(co, cfg, chroma=True))
     else:
         mid = 1 << (cfg.input_depth - 1)
         if cfg.lossless:
@@ -656,22 +741,25 @@ def encode_image(img: np.ndarray, cfg: CodecConfig) -> bytes:
         else:
             # 16-bit input already exceeds the 12-bit lossy working domain
             x = img - mid
-        streams += list(encode_plane_bytes(x, cfg, chroma=False))
-    return container.write_container(cfg, streams)
+        streams += list(enc(x, cfg, chroma=False))
+    return container.write_container(
+        cfg, streams, archival=(profile == "archival")
+    )
 
 
 def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
-    cfg, streams, tiles = container.read_container(data)
+    cfg, streams, tiles, archival = container.read_container(data)
+    dec = decode_plane_archival if archival else decode_plane_bytes
     if cfg.channels == 3:
-        y = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
-        cg = decode_plane_bytes(streams[2], streams[3], cfg, chroma=True)
-        co = decode_plane_bytes(streams[4], streams[5], cfg, chroma=True)
+        y = dec(streams[0], streams[1], cfg, chroma=False)
+        cg = dec(streams[2], streams[3], cfg, chroma=True)
+        co = dec(streams[4], streams[5], cfg, chroma=True)
         rgb = ycocg_to_rgb(
             jnp.asarray(y), jnp.asarray(co), jnp.asarray(cg),
             0 if cfg.lossless else SHIFT,
         )
         return np.asarray(rgb).astype(np.int32)
-    x = decode_plane_bytes(streams[0], streams[1], cfg, chroma=False)
+    x = dec(streams[0], streams[1], cfg, chroma=False)
     mid = 1 << (cfg.input_depth - 1)
     peak = (1 << cfg.input_depth) - 1
     if cfg.lossless:

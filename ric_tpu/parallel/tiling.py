@@ -220,13 +220,15 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
             freq = jnp.zeros((tbl_mod.N_TABLES, tbl_mod.ALPHABET), jnp.int32)
             freq = freq.at[vrows, vcols].set(fvals)
             dtables = rans.device_build_tables(freq)
+            reader = image_codec.RansReader(dtables, statesB, stream16, L)
             coeffs = image_codec._decode_sections(
-                plans, L, dtables, nlev, wordsA, statesB, stream16,
+                plans, L, reader, nlev, wordsA,
                 baseA0=image_codec._TABLE_SECTION_BITS,
             )
         else:
+            reader = image_codec.RansReader(rtables, statesB, stream16, L)
             coeffs = image_codec._decode_sections(
-                plans, L, rtables, nlev, wordsA, statesB, stream16
+                plans, L, reader, nlev, wordsA
             )
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(

@@ -37,10 +37,12 @@ class BadMagic(ValueError):
 
 
 def write_container(cfg: CodecConfig, streams: list[bytes],
-                    tiles: tuple[int, int] = (1, 1)) -> bytes:
+                    tiles: tuple[int, int] = (1, 1),
+                    archival: bool = False) -> bytes:
     flags = (1 if cfg.channels == 3 else 0)
     flags |= (int(cfg.transform) & 3) << 1
     flags |= (1 if cfg.input_depth == 16 else 0) << 3
+    flags |= (1 if archival else 0) << 4
     head = struct.pack(
         "<4sBBBBIIHH",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
@@ -52,7 +54,7 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
 
 
 def read_container(data: bytes):
-    """Returns (cfg, streams, tiles)."""
+    """Returns (cfg, streams, tiles, archival)."""
     if data[:4] != MAGIC:
         raise BadMagic("bad magic (expected RTP1)")
     (_, version, flags, quant, levels, width, height, tx, ty) = struct.unpack(
@@ -75,4 +77,4 @@ def read_container(data: bytes):
     for ln in lens:
         streams.append(data[off : off + ln])
         off += ln + ((-ln) % 4)
-    return cfg, streams, (tx, ty)
+    return cfg, streams, (tx, ty), bool((flags >> 4) & 1)
