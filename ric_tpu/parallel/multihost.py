@@ -1,0 +1,57 @@
+"""Multi-host distribution (SURVEY.md §2/§5 communication backend).
+
+The TPU equivalent of the reference's (absent) MPI/NCCL layer is
+`jax.distributed` + pjit/shard_map over a global mesh: collectives ride ICI
+within a host and DCN across hosts with no custom transport. This module
+wraps initialization and global-mesh construction; the codec's parallel
+paths (ric_tpu/parallel/tiling.py) are mesh-agnostic, so the same
+shard_map code runs on a single-host virtual mesh (tests), one real host,
+or a multi-host pod slice.
+
+Restart/elasticity model: encode is stateless per image/tile and every
+tile substream is independent (container records per-tile lengths), so a
+failed multi-host job resumes at per-image granularity; corrupt streams
+are localized to one tile by the container CRCs.
+
+Single-host loopback testing: run N processes of the same script with
+  python -m ric_tpu.parallel.multihost --selftest N
+style initialization (jax.distributed with a local coordinator).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX. No-ops when env/args are absent (single
+    host). On TPU pods the runtime usually auto-discovers everything."""
+    if coordinator_address is None and "COORDINATOR_ADDRESS" in os.environ:
+        coordinator_address = os.environ["COORDINATOR_ADDRESS"]
+    if coordinator_address is None and num_processes is None:
+        # Single host (or TPU pod auto-discovery).
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def global_mesh(dp: int | None = None):
+    """(dp, sp) mesh over all global devices (all hosts)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()  # global device list across processes
+    n = len(devs)
+    if dp is None:
+        dp = 2 if n % 2 == 0 and n > 1 else 1
+    return Mesh(np.asarray(devs).reshape(dp, n // dp), ("dp", "sp"))

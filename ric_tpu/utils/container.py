@@ -36,6 +36,10 @@ class BadMagic(ValueError):
     pass
 
 
+class CorruptStream(ValueError):
+    """A substream failed its CRC; the index localizes the damage."""
+
+
 def write_container(cfg: CodecConfig, streams: list[bytes],
                     tiles: tuple[int, int] = (1, 1),
                     archival: bool = False) -> bytes:
@@ -43,14 +47,18 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
     flags |= (int(cfg.transform) & 3) << 1
     flags |= (1 if cfg.input_depth == 16 else 0) << 3
     flags |= (1 if archival else 0) << 4
+    flags |= 1 << 5  # per-substream CRC32 table present
     head = struct.pack(
         "<4sBBBBIIHH",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
         cfg.width, cfg.height, tiles[0], tiles[1],
     )
     lens = struct.pack(f"<{len(streams)}I", *[len(s) for s in streams])
+    from ric_tpu.utils.native import crc32
+
+    crcs = struct.pack(f"<{len(streams)}I", *[crc32(s) for s in streams])
     body = b"".join(s + b"\x00" * ((-len(s)) % 4) for s in streams)
-    return head + lens + body
+    return head + lens + crcs + body
 
 
 def read_container(data: bytes):
@@ -73,8 +81,21 @@ def read_container(data: bytes):
     off = 20
     lens = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
     off += 4 * nstreams
+    crcs = None
+    if (flags >> 5) & 1:
+        crcs = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
+        off += 4 * nstreams
     streams = []
-    for ln in lens:
-        streams.append(data[off : off + ln])
+    for i, ln in enumerate(lens):
+        s = data[off : off + ln]
+        if crcs is not None:
+            from ric_tpu.utils.native import crc32
+
+            if crc32(s) != crcs[i]:
+                raise CorruptStream(
+                    f"substream {i} CRC mismatch (corruption localized to "
+                    f"plane/tile {i // 2})"
+                )
+        streams.append(s)
         off += ln + ((-ln) % 4)
     return cfg, streams, (tx, ty), bool((flags >> 4) & 1)
