@@ -6,7 +6,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ric_tpu.config import Transform
 from ric_tpu.ops import lifting
