@@ -75,11 +75,17 @@ def eval_config(img, quant, trans):
 
 
 def main():
-    size = sys.argv[1] if len(sys.argv) > 1 else "509x263"
-    w, h = map(int, size.split("x"))
+    arg = sys.argv[1] if len(sys.argv) > 1 else "509x263"
     quants = [int(q) for q in sys.argv[2:]] or [0, 9, 20]
-    img = synthetic(h, w)
-    print(f"synthetic {w}x{h}")
+    if arg.endswith(".pgm"):
+        from ric_tpu.utils import pnm
+
+        img = pnm.read_pnm(arg)
+        print(f"{arg} {img.shape[1]}x{img.shape[0]}")
+    else:
+        w, h = map(int, arg.split("x"))
+        img = synthetic(h, w)
+        print(f"synthetic {w}x{h}")
     for q in quants:
         trans = 1 if q == 0 else 0
         eval_config(img, q, trans)
