@@ -84,6 +84,49 @@ def exp_golomb_decode_at(words, offs, k: int = 0):
     return (u.astype(jnp.int32) - (1 << k)), nz + 1 + m
 
 
+def golomb_lin_encode(v, k0: int, m: int, max_g: int = 16):
+    """Golomb with linearly growing parameter (muxcodec.cpp:466-514): the
+    Rice parameter k grows by 1 for every 2^m units of unary prefix.
+    Capacity before growth step g is (2^g - 1) << (k0 + m).
+
+    Field (LSB-first): (l-1) zeros, a 1, then k remainder bits, with
+    l = 1 + g*2^m + (rem >> k), k = k0 + g. Contract: l + k <= 32."""
+    v = v.astype(jnp.int32)
+    caps = np.array([((1 << g) - 1) << (k0 + m) for g in range(max_g + 1)],
+                    np.int64)
+    caps = np.minimum(caps, np.int64(2**31 - 1)).astype(np.int32)
+    g = jnp.sum(
+        (v[..., None] >= jnp.asarray(caps)[1:][None, :]).astype(jnp.int32),
+        axis=-1,
+    )
+    rem = v - jnp.asarray(caps)[g]
+    k = k0 + g
+    q = rem >> k
+    l = 1 + (g << m) + q
+    field = (jnp.uint32(1) << (l - 1)) | (
+        (rem & ((jnp.int32(1) << k) - 1)).astype(jnp.uint32) << l
+    )
+    return field, l + k
+
+
+def golomb_lin_decode_at(words, offs, k0: int, m: int, max_g: int = 16):
+    probe = bitpack.unpack(words, offs, jnp.full(offs.shape, 32, jnp.int32))
+    low = probe & (~probe + 1)
+    zeros = bitlen(low.astype(jnp.int32)) - 1  # l - 1
+    g = zeros >> m
+    q = zeros & ((1 << m) - 1)
+    k = k0 + g
+    caps = np.array([((1 << gg) - 1) << (k0 + m) for gg in range(max_g + 1)],
+                    np.int64)
+    caps = np.minimum(caps, np.int64(2**31 - 1)).astype(np.int32)
+    l = zeros + 1
+    lowbits = (probe >> l) & ((jnp.uint32(1) << k) - 1)
+    val = jnp.asarray(caps)[jnp.clip(g, 0, max_g)] + (q << k) + lowbits.astype(
+        jnp.int32
+    )
+    return val, l + k
+
+
 # --------------------------------------------------------------------------
 # Fibonacci codes (Zeckendorf + terminating "11"), muxcodec.cpp:138-197
 # --------------------------------------------------------------------------

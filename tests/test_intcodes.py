@@ -34,6 +34,19 @@ def test_exp_golomb_roundtrip(rng, k):
     np.testing.assert_array_equal(np.asarray(ln), np.asarray(l))
 
 
+@pytest.mark.parametrize("k0,m", [(0, 0), (2, 1), (5, 0)])
+def test_golomb_lin_roundtrip(rng, k0, m):
+    v = jnp.asarray(
+        np.concatenate([np.arange(40), rng.integers(0, 2000, 300)]), jnp.int32
+    )
+    f, l = intcodes.golomb_lin_encode(v, k0, m)
+    assert int(jnp.max(l)) <= 32
+    words, offs = pack_and_offsets(f, l, v.shape[0])
+    got, ln = intcodes.golomb_lin_decode_at(words, offs, k0, m)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(v))
+    np.testing.assert_array_equal(np.asarray(ln), np.asarray(l))
+
+
 def test_fibonacci_roundtrip(rng):
     v = jnp.asarray(
         np.concatenate([np.arange(50), rng.integers(0, 100000, 300)]),
