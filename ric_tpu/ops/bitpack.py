@@ -54,10 +54,24 @@ def _seg_or_last(keys, contrib, cap: int):
         shifted = jnp.where(same, acc[:-d], jnp.uint32(0))
         acc = acc.at[d:].set(acc[d:] | shifted)  # contiguous update, no scatter
     w = jnp.arange(cap, dtype=keys.dtype)
-    idx = jnp.searchsorted(keys, w, side="right").astype(jnp.int32) - 1
+    idx = _searchsorted_right(keys, w, n) - 1
     idx_c = jnp.clip(idx, 0, n - 1)
     hit = (idx >= 0) & (keys[idx_c] == w)
     return jnp.where(hit, acc[idx_c], jnp.uint32(0))
+
+
+def _searchsorted_right(keys, queries, n: int):
+    """Unrolled vectorized binary search (jnp.searchsorted's scan lowering
+    serializes badly on TPU at tens of millions of queries)."""
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, n, jnp.int32)
+    for _ in range(max(n - 1, 1).bit_length() + 1):
+        mid = (lo + hi) >> 1
+        km = keys[jnp.clip(mid, 0, n - 1)]
+        go_right = km <= queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
 
 
 def pack(vals, lens, cap_words: int):
@@ -65,16 +79,41 @@ def pack(vals, lens, cap_words: int):
 
     vals: (N,) uint32/int32; lens: (N,) int32 in [0, 32].
     Returns (words[cap_words] uint32, total_bits int32).
+
+    A field straddles at most two words; the "low" contribution lands in
+    word w0, the "high" spill in w0+1. Both streams share the same sorted
+    run structure, so one log-doubling segmented-OR pass combines both and
+    one binary search maps words to run ends (high[w] reads the w-1 run).
     """
     vals = vals.astype(jnp.uint32) & field_mask(lens)
     offs, total = excl_cumsum(lens)
     w0 = (offs >> 5).astype(jnp.int32)
     b = (offs & 31).astype(jnp.uint32)
-    low = vals << b
-    high = (vals >> (31 - b)) >> 1
-    words = _seg_or_last(w0, low, cap_words)
-    words = words | _seg_or_last(w0 + 1, high, cap_words)
-    return words, total
+    acc_lo = vals << b
+    acc_hi = (vals >> (31 - b)) >> 1
+    n = w0.shape[0]
+    for k in range(max(n - 1, 1).bit_length()):
+        d = 1 << k
+        if d >= n:
+            break
+        same = w0[d:] == w0[:-d]
+        z = jnp.uint32(0)
+        acc_lo = acc_lo.at[d:].set(
+            acc_lo[d:] | jnp.where(same, acc_lo[:-d], z)
+        )
+        acc_hi = acc_hi.at[d:].set(
+            acc_hi[d:] | jnp.where(same, acc_hi[:-d], z)
+        )
+    w = jnp.arange(cap_words, dtype=jnp.int32)
+    idx = _searchsorted_right(w0, w, n) - 1
+    idx_c = jnp.clip(idx, 0, n - 1)
+    hit = (idx >= 0) & (w0[idx_c] == w)
+    lo_w = jnp.where(hit, acc_lo[idx_c], jnp.uint32(0))
+    idx_m1 = jnp.concatenate([jnp.full((1,), -1, jnp.int32), idx[:-1]])
+    idx2 = jnp.clip(idx_m1, 0, n - 1)
+    hit2 = (idx_m1 >= 0) & (w0[idx2] == w - 1)
+    hi_w = jnp.where(hit2, acc_hi[idx2], jnp.uint32(0))
+    return lo_w | hi_w, total
 
 
 def unpack(words, offs, lens):
