@@ -105,9 +105,11 @@ def _lanes(cfg: CodecConfig) -> int:
     flush; heavily-quantized streams are tiny, so they get fewer lanes."""
     npix = cfg.width * cfg.height
     coarse = tbl.rate_bucket(cfg.quant) == 3 or cfg.q_step >= 256
-    shift = 13 if coarse else 11
+    # TPU scan steps have ~10-20us fixed overhead, so wide lanes matter
+    # more than VPU width; 4-byte/lane state flush bounds the low end.
+    shift = 13 if coarse else 9
     l = 1 << max(6, (npix >> shift).bit_length())
-    return min(4096, l)
+    return min(32768, l)
 
 
 def _use_image_tables(cfg: CodecConfig) -> bool:
