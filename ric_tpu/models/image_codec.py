@@ -646,7 +646,11 @@ def ycocg_to_rgb(y, co, cg, shift: int):
 
 def words_to_bytes(words, total_bits: int) -> bytes:
     nw = (int(total_bits) + 31) // 32
-    return np.asarray(words[:nw]).tobytes()
+    # bucket the device slice so eager-op shapes stay cacheable across
+    # images with different stream lengths
+    bucket = min(-(-max(nw, 1) // (1 << 18)) * (1 << 18), words.shape[0])
+    host = np.asarray(words[:bucket])
+    return host[:nw].tobytes()
 
 
 def bytes_to_words(data: bytes, cap: int) -> np.ndarray:
@@ -664,25 +668,38 @@ def encode_plane_bytes(x, cfg: CodecConfig, chroma: bool):
     return words_to_bytes(wA, int(tA)), words_to_bytes(wB, int(tB))
 
 
+def _to_device_padded(buf: np.ndarray, cap: int):
+    """Ship only the real payload to the device; zero-pad to the static cap
+    there. Transfer sizes are bucketed (256K words) so eager-op shapes stay
+    cacheable. The padded capacity buffers are ~10x the payload — shipping
+    them dominated end-to-end decode time over the device link."""
+    n = min(len(buf), cap)
+    bucket = -(-max(n, 1) // (1 << 18)) * (1 << 18)
+    bucket = min(bucket, cap)
+    host = np.zeros(bucket, np.uint32)
+    host[:n] = buf[:n]
+    dev = jnp.asarray(host)
+    if bucket < cap:
+        dev = jnp.concatenate([dev, jnp.zeros(cap - bucket, jnp.uint32)])
+    return dev
+
+
 def decode_plane_bytes(streamA: bytes, streamB: bytes, cfg: CodecConfig,
                        chroma: bool) -> np.ndarray:
     dec = _cached_decoder(cfg, chroma)
     plans, _ = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
-    capA = _cap_words_raw(plans)
+    capA = _cap_words_raw(plans) + _TABLE_SECTION_BITS // 32 + 1
     pad = (-len(streamA)) % 4
     bufA = np.frombuffer(streamA + b"\x00" * pad, dtype="<u4")
-    wordsA = np.zeros(capA, np.uint32)
-    wordsA[: len(bufA)] = bufA
     padB = (-len(streamB)) % 2
     b16 = np.frombuffer(streamB + b"\x00" * padB, dtype="<u2").astype(np.uint32)
     states = (b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)).astype(np.uint32)
     capB16 = _cap_words_rans(plans, L) * 2
-    stream16 = np.zeros(capB16, np.uint32)
-    body = b16[2 * L :]
-    stream16[: len(body)] = body
     out = dec(
-        jnp.asarray(wordsA), jnp.asarray(states), jnp.asarray(stream16)
+        _to_device_padded(bufA, capA),
+        jnp.asarray(states),
+        _to_device_padded(b16[2 * L :], capB16),
     )
     return np.asarray(out)
 
