@@ -741,7 +741,9 @@ def encode_image(img: np.ndarray, cfg: CodecConfig,
 
     profile: "rans" (parallel, default) or "archival" (serial adaptive
     range coder via the native backend — max compression)."""
-    img = jnp.asarray(img, jnp.int32)
+    # upload at native width (uint8/uint16), widen on device: the host
+    # link is often the bottleneck
+    img = jnp.asarray(img).astype(jnp.int32)
     enc = (
         encode_plane_archival if profile == "archival" else encode_plane_bytes
     )
