@@ -177,16 +177,25 @@ def _coeff_size_fields(u_blk, k):
 # --------------------------------------------------------------------------
 
 
+def _merge_mags(cfg: CodecConfig) -> bool:
+    """Magnitude fields of adjacent coefficient pairs are packed into one
+    field when the per-field bound guarantees pairs fit 32 bits: 8-bit
+    input with cdf53/haar keeps |coeff| < 2^15 at any level (gain <= 2 per
+    level), so fields are <= 16 bits. Halves the dominant scatter count.
+    cdf97's adversarial worst case can exceed that; it stays unmerged."""
+    return cfg.input_depth == 8 and Transform(cfg.transform) != Transform.CDF97
+
+
 def _plane_sections(cfg: CodecConfig, plans, L: int, x):
     """Shared encoder front half: transform, quantize, zerotree, and emit
     (raw fields, rANS symbol grids). Used by the real encoder and by the
     table-generator statistics pass (tools/tablegen.py, the huffgen
     equivalent — reference utils/huffgen.cpp)."""
     pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
-    return _sections_from_pyramid(plans, L, pyr)
+    return _sections_from_pyramid(plans, L, pyr, merge_mags=_merge_mags(cfg))
 
 
-def _sections_from_pyramid(plans, L: int, pyr):
+def _sections_from_pyramid(plans, L: int, pyr, merge_mags: bool = False):
     """Quantize + zerotree + section emission for an already-transformed
     pyramid (also used by the tiled path, where the DWT is the
     halo-exchanged distributed transform)."""
@@ -287,8 +296,17 @@ def _sections_from_pyramid(plans, L: int, pyr):
                 s, (tbl.S_BASE + sctx)[..., None] * jnp.ones((1, 1, 16), jnp.int32),
                 active,
             )
-            rawv.append(field.ravel())
-            rawl.append(flen.ravel())
+            if merge_mags:
+                f2 = field.reshape(field.shape[:-1] + (8, 2))
+                l2 = flen.reshape(flen.shape[:-1] + (8, 2))
+                mv = f2[..., 0].astype(jnp.uint32) | (
+                    f2[..., 1].astype(jnp.uint32) << l2[..., 0]
+                )
+                rawv.append(mv.ravel())
+                rawl.append((l2[..., 0] + l2[..., 1]).ravel())
+            else:
+                rawv.append(field.ravel())
+                rawl.append(flen.ravel())
             diag["pattern_bits"] += jnp.sum(sm * pl) + jnp.sum(sm * plong)
             diag["refine_bits"] += jnp.sum(flen)
 
@@ -340,7 +358,7 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
         bl = jnp.concatenate(
             [jnp.full((L,), 32, jnp.int32), 16 * emit.ravel().astype(jnp.int32)]
         )
-        wordsB, totalB = bitpack.pack(bv, bl, capB)
+        wordsB, totalB = bitpack.pack(bv, bl, capB, aligned16=True)
         return wordsA, totalA, wordsB, totalB
 
     return jax.jit(encode_plane)
@@ -402,7 +420,8 @@ class RansReader:
         return syms
 
 
-def _decode_sections(plans, L, reader, nlev, wordsA, baseA0: int = 0):
+def _decode_sections(plans, L, reader, nlev, wordsA, baseA0: int = 0,
+                     merge_mags: bool = False):
     """Mirror of _sections_from_pyramid: decode all band coefficient arrays
     from the raw substream + a model-symbol reader. Returns
     {band name: dequantized coeffs}."""
@@ -463,7 +482,18 @@ def _decode_sections(plans, L, reader, nlev, wordsA, baseA0: int = 0):
             )
             # refinement + sign
             flen = jnp.where(active, jnp.maximum(s, 1), 0)
-            field, baseA = _read_raw(wordsA, baseA, flen)
+            if merge_mags:
+                l2 = flen.reshape(flen.shape[:-1] + (8, 2))
+                ml = l2[..., 0] + l2[..., 1]
+                merged, baseA = _read_raw(wordsA, baseA, ml)
+                merged = merged.astype(jnp.uint32)
+                m0 = bitpack.field_mask(l2[..., 0])
+                f0 = merged & m0
+                f1 = (merged >> l2[..., 0]) & bitpack.field_mask(l2[..., 1])
+                field = jnp.stack([f0, f1], axis=-1).reshape(flen.shape)
+                field = field.astype(jnp.int32)
+            else:
+                field, baseA = _read_raw(wordsA, baseA, flen)
             sign = field & 1
             mag1 = jnp.where(
                 s > 0,
@@ -515,11 +545,13 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
             reader = RansReader(dtables, statesB, stream16, L)
             coeffs = _decode_sections(
                 plans, L, reader, nlev, wordsA,
-                baseA0=_TABLE_SECTION_BITS,
+                baseA0=_TABLE_SECTION_BITS, merge_mags=_merge_mags(cfg),
             )
         else:
             reader = RansReader(rtables, statesB, stream16, L)
-            coeffs = _decode_sections(plans, L, reader, nlev, wordsA)
+            coeffs = _decode_sections(
+                plans, L, reader, nlev, wordsA, merge_mags=_merge_mags(cfg)
+            )
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 
@@ -591,7 +623,9 @@ def decode_plane_archival(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     capA = _cap_words_raw(plans)
     wordsA = jnp.asarray(bytes_to_words(streamA, capA))
     reader = ArchivalReader(cfg, streamB)
-    coeffs = _decode_sections(plans, L, reader, nlev, wordsA)
+    coeffs = _decode_sections(
+        plans, L, reader, nlev, wordsA, merge_mags=_merge_mags(cfg)
+    )
     reader.dec.close()
     pyr = _pyramid_from_coeffs(coeffs, nlev)
     out = lifting.idwt(pyr, cfg.width, cfg.height, Transform(cfg.transform))

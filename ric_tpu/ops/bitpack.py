@@ -74,16 +74,16 @@ def _searchsorted_right(keys, queries, n: int):
     return lo
 
 
-def pack(vals, lens, cap_words: int):
+def pack(vals, lens, cap_words: int, aligned16: bool = False):
     """Pack fields (vals masked to lens bits) into a uint32 word buffer.
 
     vals: (N,) uint32/int32; lens: (N,) int32 in [0, 32].
     Returns (words[cap_words] uint32, total_bits int32).
 
-    A field straddles at most two words; the "low" contribution lands in
-    word w0, the "high" spill in w0+1. Both streams share the same sorted
-    run structure, so one log-doubling segmented-OR pass combines both and
-    one binary search maps words to run ends (high[w] reads the w-1 run).
+    Scatter-add: contributions sharing a word never overlap bits, so add
+    equals OR. aligned16=True asserts every field length and offset is a
+    multiple of 16 (e.g. the rANS word stream), so no field straddles a
+    word boundary and the spill scatter is skipped.
     """
     vals = vals.astype(jnp.uint32) & field_mask(lens)
     offs, total = excl_cumsum(lens)
@@ -97,12 +97,14 @@ def pack(vals, lens, cap_words: int):
     # random gathers are just as serialized as scatter.)
     words = jnp.zeros((cap_words,), jnp.uint32)
     words = words.at[w0].add(low, mode="drop")
-    words = words.at[w0 + 1].add(high, mode="drop")
+    if not aligned16:
+        words = words.at[w0 + 1].add(high, mode="drop")
     return words, total
 
 
 def unpack(words, offs, lens):
-    """Extract fields at absolute bit offsets (uint32 values)."""
+    """Extract fields at absolute bit offsets (uint32 values). Offsets must
+    be non-decreasing (they come from prefix sums everywhere)."""
     w0 = (offs >> 5).astype(jnp.int32)
     b = (offs & 31).astype(jnp.uint32)
     n = words.shape[0]

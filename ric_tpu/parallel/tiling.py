@@ -144,7 +144,7 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
             xt, Transform(cfg.transform), cfg.levels, cfg.width, "sp"
         )
         rawv, rawl, syms, tids, acts, _d = image_codec._sections_from_pyramid(
-            plans, L, pyr
+            plans, L, pyr, merge_mags=image_codec._merge_mags(cfg)
         )
         if image_tables:
             idx = (
@@ -174,7 +174,7 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
             [jnp.full((L,), 32, jnp.int32),
              16 * emit.ravel().astype(jnp.int32)]
         )
-        wordsB, tB = bitpack.pack(bv, bl, capB)
+        wordsB, tB = bitpack.pack(bv, bl, capB, aligned16=True)
         return wordsA[None], tA[None], wordsB[None], tB[None]
 
     fn = shard_map(
@@ -224,11 +224,13 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
             coeffs = image_codec._decode_sections(
                 plans, L, reader, nlev, wordsA,
                 baseA0=image_codec._TABLE_SECTION_BITS,
+                merge_mags=image_codec._merge_mags(cfg),
             )
         else:
             reader = image_codec.RansReader(rtables, statesB, stream16, L)
             coeffs = image_codec._decode_sections(
-                plans, L, reader, nlev, wordsA
+                plans, L, reader, nlev, wordsA,
+                merge_mags=image_codec._merge_mags(cfg),
             )
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
