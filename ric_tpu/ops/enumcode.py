@@ -64,43 +64,42 @@ def phase_in_extra_mask(hi, th: int):
     return hi >= th
 
 
+def _row_lookup(row_np, k_rem):
+    """C(n-1, k_rem) via a select chain over the static row — TPU gathers
+    serialize at ~tens of ns/element, a 17-way select chain is pure VPU."""
+    out = jnp.zeros(k_rem.shape, jnp.int32)
+    for kk, v in enumerate(row_np):
+        if v:
+            out = jnp.where(k_rem == kk, jnp.int32(int(v)), out)
+    return out
+
+
 def pattern_rank(pattern, k):
     """Rank of a 16-bit significance pattern among C(16,k) patterns.
 
     pattern: int32, bit (15-i) = coeff i significant (matches the MSB-first
-    shift order of reference block_enum, bandcodec.cpp:355-365).
+    shift order of reference block_enum, bandcodec.cpp:355-365). Unrolled
+    with per-step static C rows (no gathers).
     """
-    def step(i, carry):
-        rank, k_rem = carry
+    rank = jnp.zeros_like(pattern)
+    k_rem = k.astype(jnp.int32)
+    for i in range(16):
         bit = (pattern >> (15 - i)) & 1
-        n_rem = 16 - i
-        add = CNK16[n_rem - 1, jnp.clip(k_rem, 0, 16)]
+        add = _row_lookup(_C[16 - i - 1], k_rem)
         rank = rank + jnp.where(bit == 1, add, 0)
         k_rem = k_rem - bit
-        return rank, k_rem
-
-    rank, _ = jax.lax.fori_loop(
-        0, 16, step, (jnp.zeros_like(pattern), k.astype(jnp.int32))
-    )
     return rank
 
 
 def pattern_unrank(rank, k):
     """Inverse of pattern_rank."""
-    def step(i, carry):
-        pattern, rank, k_rem = carry
+    pattern = jnp.zeros_like(rank)
+    k_rem = k.astype(jnp.int32)
+    for i in range(16):
         n_rem = 16 - i
-        c = CNK16[n_rem - 1, jnp.clip(k_rem, 0, 16)]
-        # k_rem == n_rem forces all remaining bits to 1 (C(n-1,k)=0 handles it)
-        take = rank >= c
-        # also force bit=1 when k_rem == n_rem
-        take = take | (k_rem >= n_rem)
+        c = _row_lookup(_C[n_rem - 1], k_rem)
+        take = (rank >= c) | (k_rem >= n_rem)
         pattern = pattern | (take.astype(jnp.int32) << (15 - i))
         rank = rank - jnp.where(take, c, 0)
         k_rem = k_rem - take.astype(jnp.int32)
-        return pattern, rank, k_rem
-
-    pattern, _, _ = jax.lax.fori_loop(
-        0, 16, step, (jnp.zeros_like(rank), rank, k.astype(jnp.int32))
-    )
     return pattern
