@@ -77,20 +77,47 @@ def build_tables(freqs: np.ndarray):
     }
 
 
+def _table_lookup_f32(idx, table_f32):
+    """Lookup 25M-scale indices in a small table via chunked one-hot
+    matmuls on the MXU (~7x faster than XLA's serialized gather on TPU).
+    Table values must be < 2^24 (exact in f32)."""
+    n = idx.shape[0]
+    chunk = 8192
+    pad = (-n) % chunk
+    if pad:
+        idx = jnp.concatenate([idx, jnp.zeros((pad,), idx.dtype)])
+    width = table_f32.shape[0]
+    cols = jnp.arange(width, dtype=jnp.int32)
+
+    def one(ix):
+        oh = (ix[:, None] == cols[None, :]).astype(jnp.float32)
+        return oh @ table_f32
+
+    out = jax.lax.map(one, idx.reshape(-1, chunk)).reshape(-1)
+    return out[:n]
+
+
 def encode(tables, symbols, tids, active):
     """Encode a (T, L) symbol grid in global reverse order.
 
     symbols/tids: (T, L) int32; active: (T, L) bool.
     Returns (final_states (L,) u32, emit (T, L) bool, words (T, L) u32).
 
-    The (freq, start) lookups happen once as a whole-grid gather before the
+    The (freq, start) lookups happen once for the whole grid before the
     scan — symbols are known upfront on the encode side — so the scan body
-    is pure arithmetic (in-scan gathers dominate TPU scan time).
+    is pure arithmetic. freq and start are fused into one f32 table value
+    (freq + start*4096 < 2^24, exact) looked up by one-hot matmul.
     """
     freq, start = tables["freq"], tables["start"]
     L = symbols.shape[1]
-    f_all = jnp.where(active, freq[tids, symbols], 1).astype(jnp.uint32)
-    st_all = jnp.where(active, start[tids, symbols], 0).astype(jnp.uint32)
+    alpha = freq.shape[1]
+    comb = (
+        freq.astype(jnp.int32) + start.astype(jnp.int32) * M
+    ).astype(jnp.float32).ravel()
+    idx = (tids * alpha + jnp.clip(symbols, 0, alpha - 1)).ravel()
+    both = _table_lookup_f32(idx, comb).astype(jnp.int32).reshape(tids.shape)
+    f_all = jnp.where(active, (both % M).astype(jnp.uint32), 1)
+    st_all = jnp.where(active, (both // M).astype(jnp.uint32), 0)
 
     def step(x, inp):
         f, st, act = inp
