@@ -142,7 +142,8 @@ def _cap_words_rans(plans, L) -> int:
         nblk = p.grid[0] * p.grid[1]
         for nmax in (nblk, nblk, nblk * 16):
             slots += -(-nmax // L) * L
-    return (L * 32 + slots * 16) // 32 + 8
+    # states (32b) + per-lane word counts (16b) + words (16b each)
+    return (L * 32 + L * 16 + slots * 16) // 32 + 8
 
 
 def _grad2d(x):
@@ -354,9 +355,20 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
             enc_tables = rtables
         wordsA, totalA = bitpack.pack(rawv, rawl, capA)
         states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
-        bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
+        # stream B: [states 32b x L][per-lane word counts 16b x L]
+        #           [words 16b, lane-major] — lane-major order makes the
+        # decoder's renorm read a per-lane counter (no cross-lane prefix
+        # sums inside the decode scan)
+        counts = jnp.sum(emit, axis=0).astype(jnp.uint32)
+        bv = jnp.concatenate(
+            [states.astype(jnp.uint32), counts, words16.T.ravel()]
+        )
         bl = jnp.concatenate(
-            [jnp.full((L,), 32, jnp.int32), 16 * emit.ravel().astype(jnp.int32)]
+            [
+                jnp.full((L,), 32, jnp.int32),
+                jnp.full((L,), 16, jnp.int32),
+                16 * emit.T.ravel().astype(jnp.int32),
+            ]
         )
         wordsB, totalB = bitpack.pack(bv, bl, capB, aligned16=True)
         return wordsA, totalA, wordsB, totalB
@@ -391,15 +403,15 @@ def _read_raw(wordsA, base, lens):
     return out.astype(jnp.int32).reshape(lens.shape), base + total
 
 
-def _rans_read(rtables, states, stream16, ptr, syms_shape, tid, act, L):
+def _rans_read(rtables, states, stream16, lane_pos, syms_shape, tid, act, L):
     """Decode one section grid; returns flat symbols clipped to n slots."""
     n = int(np.prod(syms_shape))
     tg = rans.to_grid(tid.ravel(), L)
     ag = rans.to_grid(act.ravel(), L, fill=False)
-    syms, states, ptr = rans.decode_section(
-        rtables, states, stream16, ptr, tg, ag
+    syms, states, lane_pos = rans.decode_section(
+        rtables, states, stream16, lane_pos, tg, ag
     )
-    return rans.from_grid(syms, n).reshape(syms_shape), states, ptr
+    return rans.from_grid(syms, n).reshape(syms_shape), states, lane_pos
 
 
 class RansReader:
@@ -407,14 +419,14 @@ class RansReader:
     jit path). ArchivalReader in this module is the drop-in serial-coder
     equivalent."""
 
-    def __init__(self, rtables, statesB, stream16, L):
+    def __init__(self, rtables, statesB, lane_base, stream16, L):
         self.rtables, self.L = rtables, L
         self.stream16 = stream16
-        self.states, self.ptr = statesB, jnp.int32(0)
+        self.states, self.pos = statesB, lane_base
 
     def read(self, shape, tid, act):
-        syms, self.states, self.ptr = _rans_read(
-            self.rtables, self.states, self.stream16, self.ptr, shape,
+        syms, self.states, self.pos = _rans_read(
+            self.rtables, self.states, self.stream16, self.pos, shape,
             tid, act, self.L,
         )
         return syms
@@ -534,7 +546,7 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     vrows = jnp.asarray(_VALID_POS[:, 0])
     vcols = jnp.asarray(_VALID_POS[:, 1])
 
-    def decode_plane(wordsA, statesB, stream16):
+    def decode_plane(wordsA, statesB, lane_base, stream16):
         if image_tables:
             offs = jnp.arange(_N_VALID, dtype=jnp.int32) * 12
             lens = jnp.full((_N_VALID,), 12, jnp.int32)
@@ -542,13 +554,13 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
             freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
             freq = freq.at[vrows, vcols].set(fvals)
             dtables = rans.device_build_tables(freq)
-            reader = RansReader(dtables, statesB, stream16, L)
+            reader = RansReader(dtables, statesB, lane_base, stream16, L)
             coeffs = _decode_sections(
                 plans, L, reader, nlev, wordsA,
                 baseA0=_TABLE_SECTION_BITS, merge_mags=_merge_mags(cfg),
             )
         else:
-            reader = RansReader(rtables, statesB, stream16, L)
+            reader = RansReader(rtables, statesB, lane_base, stream16, L)
             coeffs = _decode_sections(
                 plans, L, reader, nlev, wordsA, merge_mags=_merge_mags(cfg)
             )
@@ -729,11 +741,14 @@ def decode_plane_bytes(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     padB = (-len(streamB)) % 2
     b16 = np.frombuffer(streamB + b"\x00" * padB, dtype="<u2").astype(np.uint32)
     states = (b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)).astype(np.uint32)
+    counts = b16[2 * L : 3 * L].astype(np.int32)
+    lane_base = (np.cumsum(counts) - counts).astype(np.int32)
     capB16 = _cap_words_rans(plans, L) * 2
     out = dec(
         _to_device_padded(bufA, capA),
         jnp.asarray(states),
-        _to_device_padded(b16[2 * L :], capB16),
+        jnp.asarray(lane_base),
+        _to_device_padded(b16[3 * L :], capB16),
     )
     return np.asarray(out)
 

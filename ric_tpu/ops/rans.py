@@ -143,12 +143,18 @@ def encode(tables, symbols, tids, active):
     return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
 
 
-def decode_section(tables, states, stream16, ptr, tids, active):
+def decode_section(tables, states, stream16, lane_pos, tids, active):
     """Decode a (T, L) section grid in forward order.
 
-    states: (L,) u32 lane states; stream16: (N,) u32 array of 16-bit words;
-    ptr: scalar index of the next unread word; tids/active: (T, L).
-    Returns (symbols (T, L) i32, new_states, new_ptr).
+    states: (L,) u32 lane states; stream16: (N,) u32 array of 16-bit words
+    in LANE-MAJOR order; lane_pos: (L,) i32 absolute index of each lane's
+    next unread word (initialized from the per-lane word counts stored in
+    the stream); tids/active: (T, L).
+    Returns (symbols (T, L) i32, new_states, new_lane_pos).
+
+    The lane-major layout makes the renorm read per step a pure per-lane
+    gather + counter increment — no cross-lane prefix sum in the scan
+    (a per-step 32k-lane cumsum dominated decode time).
     """
     slot_lut = tables["slot_lut"]
     if stream16.shape[0] == 0:
@@ -156,7 +162,7 @@ def decode_section(tables, states, stream16, ptr, tids, active):
     n = stream16.shape[0]
 
     def step(carry, inp):
-        x, p = carry
+        x, pos = carry
         tid, act = inp
         slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
         entry = slot_lut[tid, slot]  # one fused gather per symbol
@@ -165,21 +171,20 @@ def decode_section(tables, states, stream16, ptr, tids, active):
         st = jnp.where(act, entry >> 17, 0)
         xn = f * (x >> M_BITS) + slot.astype(jnp.uint32) - st
         need = act & (xn < RANS_L)
-        ni = need.astype(jnp.int32)
-        idx = p + jnp.cumsum(ni) - ni
-        w = stream16[jnp.clip(idx, 0, n - 1)]
+        w = stream16[jnp.clip(pos, 0, n - 1)]
         xn = jnp.where(need, (xn << 16) | w, xn)
         x = jnp.where(act, xn, x)
-        return (x, p + jnp.sum(ni)), jnp.where(act, sym, 0)
+        pos = pos + need.astype(jnp.int32)
+        return (x, pos), jnp.where(act, sym, 0)
 
     if tids.shape[0] == 0:
-        return jnp.zeros((0,) + tids.shape[1:], jnp.int32), states, ptr
+        return jnp.zeros((0,) + tids.shape[1:], jnp.int32), states, lane_pos
     # tie carries to guaranteed-varying inputs (shard_map varying typing)
     anchor = (states[0] * 0).astype(jnp.int32)
-    ptr = ptr + anchor
+    lane_pos = lane_pos + anchor
     tids = tids + anchor
     active = active & (anchor == 0)
-    (xf, pf), syms = jax.lax.scan(step, (states, ptr), (tids, active))
+    (xf, pf), syms = jax.lax.scan(step, (states, lane_pos), (tids, active))
     return syms, xf, pf
 
 

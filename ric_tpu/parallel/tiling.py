@@ -169,10 +169,13 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
             enc_tables = rtables
         wordsA, tA = bitpack.pack(rawv, rawl, capA)
         states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
-        bv = jnp.concatenate([states.astype(jnp.uint32), words16.ravel()])
+        counts = jnp.sum(emit, axis=0).astype(jnp.uint32)
+        bv = jnp.concatenate(
+            [states.astype(jnp.uint32), counts, words16.T.ravel()]
+        )
         bl = jnp.concatenate(
-            [jnp.full((L,), 32, jnp.int32),
-             16 * emit.ravel().astype(jnp.int32)]
+            [jnp.full((L,), 32, jnp.int32), jnp.full((L,), 16, jnp.int32),
+             16 * emit.T.ravel().astype(jnp.int32)]
         )
         wordsB, tB = bitpack.pack(bv, bl, capB, aligned16=True)
         return wordsA[None], tA[None], wordsB[None], tB[None]
@@ -211,8 +214,10 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
     from ric_tpu.ops import bitpack, rans
     from ric_tpu.config import Transform
 
-    def local(wordsA, statesB, stream16):
-        wordsA, statesB, stream16 = wordsA[0], statesB[0], stream16[0]
+    def local(wordsA, statesB, lane_base, stream16):
+        wordsA, statesB, lane_base, stream16 = (
+            wordsA[0], statesB[0], lane_base[0], stream16[0]
+        )
         if image_tables:
             offs = jnp.arange(image_codec._N_VALID, dtype=jnp.int32) * 12
             lens = jnp.full((image_codec._N_VALID,), 12, jnp.int32)
@@ -220,14 +225,18 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
             freq = jnp.zeros((tbl_mod.N_TABLES, tbl_mod.ALPHABET), jnp.int32)
             freq = freq.at[vrows, vcols].set(fvals)
             dtables = rans.device_build_tables(freq)
-            reader = image_codec.RansReader(dtables, statesB, stream16, L)
+            reader = image_codec.RansReader(
+                dtables, statesB, lane_base, stream16, L
+            )
             coeffs = image_codec._decode_sections(
                 plans, L, reader, nlev, wordsA,
                 baseA0=image_codec._TABLE_SECTION_BITS,
                 merge_mags=image_codec._merge_mags(cfg),
             )
         else:
-            reader = image_codec.RansReader(rtables, statesB, stream16, L)
+            reader = image_codec.RansReader(
+                rtables, statesB, lane_base, stream16, L
+            )
             coeffs = image_codec._decode_sections(
                 plans, L, reader, nlev, wordsA,
                 merge_mags=image_codec._merge_mags(cfg),
@@ -239,7 +248,8 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P("sp", None), P("sp", None), P("sp", None)),
+        in_specs=(P("sp", None), P("sp", None), P("sp", None),
+                  P("sp", None)),
         out_specs=P(None, "sp"),
     )
     return jax.jit(fn)
@@ -256,6 +266,7 @@ def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
     capB16 = image_codec._cap_words_rans(plans, L) * 2
     wA = np.zeros((sp, capA), np.uint32)
     states = np.zeros((sp, L), np.uint32)
+    lane_base = np.zeros((sp, L), np.int32)
     s16 = np.zeros((sp, capB16), np.uint32)
     for t in range(sp):
         a, b = streams[2 * t], streams[2 * t + 1]
@@ -265,8 +276,11 @@ def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
             np.uint32
         )
         states[t] = b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)
-        body = b16[2 * L :]
+        counts = b16[2 * L : 3 * L].astype(np.int32)
+        lane_base[t] = np.cumsum(counts) - counts
+        body = b16[3 * L :]
         s16[t, : len(body)] = body
     fn = build_tiled_decode_global(cfg, mesh)
-    out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16))
+    out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(lane_base),
+             jnp.asarray(s16))
     return np.asarray(out)

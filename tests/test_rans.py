@@ -18,14 +18,17 @@ def roundtrip(symbols, tids, active, freqs, L):
     grid_t = jnp.asarray(tids.reshape(T, L))
     grid_a = jnp.asarray(active.reshape(T, L))
     states, emit, words = rans.encode(tables, grid_s, grid_t, grid_a)
-    # compact words in raster order (as the bit stream would)
-    emit_np = np.asarray(emit).ravel()
-    words_np = np.asarray(words).ravel()
-    stream16 = jnp.asarray(words_np[emit_np].astype(np.uint32))
-    syms, xf, ptr = rans.decode_section(
-        tables, states, stream16, jnp.int32(0), grid_t, grid_a
+    # compact words lane-major (the stream layout): lane i's words
+    # contiguous, preceded conceptually by per-lane counts
+    emit_np = np.asarray(emit)
+    words_np = np.asarray(words)
+    counts = emit_np.sum(axis=0).astype(np.int32)
+    lane_base = np.cumsum(counts) - counts
+    stream16 = jnp.asarray(words_np.T[emit_np.T].astype(np.uint32))
+    syms, xf, pos = rans.decode_section(
+        tables, states, stream16, jnp.asarray(lane_base), grid_t, grid_a
     )
-    assert int(ptr) == int(emit_np.sum())
+    np.testing.assert_array_equal(np.asarray(pos), lane_base + counts)
     # all lanes must return to the initial state
     np.testing.assert_array_equal(np.asarray(xf), rans.RANS_L)
     return np.asarray(syms).ravel(), int(emit_np.sum()) * 16
