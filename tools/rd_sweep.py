@@ -1,0 +1,79 @@
+"""RD sweep vs the reference (BASELINE.json config #3: corpus rate sweep).
+
+For each image and target bpp in {0.25, 0.5, 1.0, 2.0}, finds the quantizer
+whose bpp is closest for BOTH codecs, then compares PSNR at (nearly)
+matched rate — the north-star lossy acceptance criterion.
+
+Usage: python tools/rd_sweep.py [image.pgm ...]
+"""
+from __future__ import annotations
+
+import glob
+import sys
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tools")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+from oracle import oracle
+from ric_tpu.config import CodecConfig, Transform, SHIFT, quant_step
+from ric_tpu.models import image_codec
+from ric_tpu.utils import pnm
+from ric_tpu.utils.metrics import psnr
+
+TARGETS = (0.25, 0.5, 1.0, 2.0)
+
+
+def ours_point(img, q):
+    h, w = img.shape
+    cfg = CodecConfig(width=w, height=h, quant=q, transform=Transform.CDF97)
+    d = image_codec.encode_image(img, cfg)
+    out = image_codec.decode_image(d)
+    return len(d) * 8 / (w * h), psnr(out, img.astype(np.int32))
+
+def ref_point(img, q):
+    h, w = img.shape
+    plane = ((img.astype(np.int16) - 128) << SHIFT).astype(np.int16)
+    qs = quant_step(q + SHIFT * 5)
+    lam = quant_step(q + SHIFT * 5 - 7)
+    stream = oracle.encode(plane, 5, 1, 0, qs, lam)
+    rec = oracle.decode(stream, w, h, 5, 1, 0, qs)
+    out = np.clip(128 + ((rec.astype(np.int32) + (1 << (SHIFT - 1))) >> SHIFT), 0, 255)
+    return (len(stream) + 9) * 8 / (w * h), psnr(out, img.astype(np.int32))
+
+
+def sweep(img, name):
+    qs = list(range(1, 28, 2))
+    ours = {q: ours_point(img, q) for q in qs}
+    ref = {q: ref_point(img, q) for q in qs}
+    print(f"== {name}")
+    for target in TARGETS:
+        qo = min(qs, key=lambda q: abs(ours[q][0] - target))
+        qr = min(qs, key=lambda q: abs(ref[q][0] - target))
+        bo, po = ours[qo]
+        br, pr = ref[qr]
+        # normalize PSNR difference by local RD slope for fairness note
+        print(
+            f"  target {target:4.2f} bpp | ours q={qo:2d}: {bo:５.3f} bpp "
+            f"{po:6.2f} dB | ref q={qr:2d}: {br:5.3f} bpp {pr:6.2f} dB"
+        )
+
+
+def main():
+    paths = sys.argv[1:] or sorted(glob.glob("build/corpus/*.pgm"))
+    for p in paths:
+        img = pnm.read_pnm(p)
+        if img.ndim == 3:
+            continue
+        sweep(img, p)
+
+
+if __name__ == "__main__":
+    main()
