@@ -49,20 +49,29 @@ def ref_point(img, q):
     return (len(stream) + 9) * 8 / (w * h), psnr(out, img.astype(np.int32))
 
 
+def _interp(points, target_bpp):
+    """PSNR at exact target bpp by linear interpolation of the RD curve."""
+    pts = sorted(points)  # by bpp ascending
+    for (b0, p0), (b1, p1) in zip(pts, pts[1:]):
+        if b0 <= target_bpp <= b1:
+            t = (target_bpp - b0) / max(b1 - b0, 1e-9)
+            return p0 + t * (p1 - p0)
+    return None
+
+
 def sweep(img, name):
     qs = list(range(1, 28, 2))
-    ours = {q: ours_point(img, q) for q in qs}
-    ref = {q: ref_point(img, q) for q in qs}
+    ours = [ours_point(img, q) for q in qs]
+    ref = [ref_point(img, q) for q in qs]
     print(f"== {name}")
     for target in TARGETS:
-        qo = min(qs, key=lambda q: abs(ours[q][0] - target))
-        qr = min(qs, key=lambda q: abs(ref[q][0] - target))
-        bo, po = ours[qo]
-        br, pr = ref[qr]
-        # normalize PSNR difference by local RD slope for fairness note
+        po = _interp(ours, target)
+        pr = _interp(ref, target)
+        if po is None or pr is None:
+            continue
         print(
-            f"  target {target:4.2f} bpp | ours q={qo:2d}: {bo:５.3f} bpp "
-            f"{po:6.2f} dB | ref q={qr:2d}: {br:5.3f} bpp {pr:6.2f} dB"
+            f"  {target:4.2f} bpp | ours {po:6.2f} dB | ref {pr:6.2f} dB "
+            f"| delta {po - pr:+5.2f} dB"
         )
 
 
