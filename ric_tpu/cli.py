@@ -13,26 +13,30 @@ import sys
 import numpy as np
 
 
+def _bayer(n: int) -> np.ndarray:
+    """n x n ordered-dither index matrix (n a power of two), values
+    0..n^2-1, built by the standard recursive quadrant doubling."""
+    m = np.zeros((1, 1), np.int32)
+    while m.shape[0] < n:
+        m = np.block([[4 * m + 0, 4 * m + 2], [4 * m + 3, 4 * m + 1]])
+    return m
+
+
+_BAYER16 = _bayer(16)
+
+
 def dither(plane: np.ndarray, shift: int = 4) -> np.ndarray:
-    """Floyd-Steinberg-like error diffusion for the lossy grayscale output
-    path (reference ric.cpp:51-74). Host-side; serial by nature."""
-    p = plane.astype(np.int32).copy()
+    """Dithered 12-bit -> 8-bit requantization for the lossy output path
+    (covers the reference's `-d` flag, ric.cpp:51-74, which uses serial
+    error diffusion). Redesigned as ordered dithering: truncation noise is
+    decorrelated by a tiled 16x16 Bayer threshold in [0, 2^shift), making
+    the whole operation one vectorized expression — O(1) depth instead of
+    an O(H*W) serial pixel walk, and identical output on any tiling."""
+    p = plane.astype(np.int32)
     h, w = p.shape
-    half = 1 << (shift - 1)
-    for j in range(h - 1):
-        p[j, 0] = np.clip(128 + ((p[j, 0] + half) >> shift), 0, 255)
-        for i in range(1, w - 1):
-            tmp = p[j, i] + half
-            v = tmp >> shift
-            tmp -= v << shift
-            p[j, i + 1] += (tmp >> 1) - (tmp >> 4)
-            p[j + 1, i - 1] += (tmp >> 3) + (tmp >> 4)
-            p[j + 1, i] += (tmp >> 2) + (tmp >> 4)
-            p[j + 1, i + 1] += tmp >> 4
-            p[j, i] = np.clip(v + 128, 0, 255)
-        p[j, w - 1] = np.clip(128 + ((p[j, w - 1] + half) >> shift), 0, 255)
-    p[h - 1] = np.clip(128 + ((p[h - 1] + half) >> shift), 0, 255)
-    return p
+    t = np.tile(_BAYER16 >> (8 - shift), ((h + 15) // 16, (w + 15) // 16))
+    v = (p + t[:h, :w]) >> shift
+    return np.clip(v + 128, 0, 255)
 
 
 def main(argv=None) -> int:

@@ -767,7 +767,12 @@ def encode_batch(imgs: np.ndarray, cfg: CodecConfig, mesh=None) -> list[bytes]:
     """
     imgs = jnp.asarray(imgs, jnp.int32)
     mid = 1 << (cfg.input_depth - 1)
-    x = (imgs - mid) if cfg.lossless else ((imgs - mid) << SHIFT)
+    # same depth logic as encode_image: 16-bit input already exceeds the
+    # 12-bit lossy working domain, so only 8-bit lossy input gets SHIFT
+    if cfg.lossless or cfg.input_depth != 8:
+        x = imgs - mid
+    else:
+        x = (imgs - mid) << SHIFT
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -817,8 +822,11 @@ def encode_image(img: np.ndarray, cfg: CodecConfig,
     )
 
 
-def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
-    cfg, streams, tiles, archival = container.read_container(data)
+def decode_plane_streams(streams: list[bytes], cfg: CodecConfig,
+                         archival: bool = False,
+                         dither: bool = False) -> np.ndarray:
+    """Decode one plane-set's substreams ([A,B] gray or
+    [Ay,By,Acg,Bcg,Aco,Bco] color) back to pixel-domain samples."""
     dec = decode_plane_archival if archival else decode_plane_bytes
     if cfg.channels == 3:
         y = dec(streams[0], streams[1], cfg, chroma=False)
@@ -843,3 +851,15 @@ def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
     else:
         x = x + mid
     return np.clip(x, 0, peak).astype(np.int32)
+
+
+def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
+    cfg, streams, tiles, archival = container.read_container(data)
+    if tiles != (1, 1):
+        # tiled containers carry per-tile substreams; route to the tiled
+        # decoder (parallel/tiling.py) which reconstructs per-tile configs
+        from ric_tpu.parallel import tiling
+
+        return tiling.decode_container_tiled(cfg, streams, tiles)
+    return decode_plane_streams(streams, cfg, archival=archival,
+                                dither=dither)

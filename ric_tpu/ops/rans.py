@@ -91,7 +91,14 @@ def _table_lookup_f32(idx, table_f32):
 
     def one(ix):
         oh = (ix[:, None] == cols[None, :]).astype(jnp.float32)
-        return oh @ table_f32
+        # exactness-critical: values up to 2^24-1 must survive the MXU
+        # accumulation untouched, so force full f32 precision (the TPU
+        # default would round inputs to bf16)
+        return jnp.dot(
+            oh, table_f32,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
 
     out = jax.lax.map(one, idx.reshape(-1, chunk)).reshape(-1)
     return out[:n]

@@ -11,14 +11,13 @@ import jax
 from jax.sharding import Mesh
 
 
-def make_mesh(n_devices: int | None = None, dp: int | None = None):
-    """2-D (dp, sp) mesh over the first n devices. dp defaults to 2 when the
-    device count is even, else 1."""
+def make_mesh(n_devices: int | None = None, dp: int = 1):
+    """2-D (dp, sp) mesh over the first n devices. All devices go to the
+    spatial axis by default (dp=1) — an sp workload on every chip is the
+    common case; pass dp explicitly for batch sharding."""
     devs = jax.devices()
     n = n_devices or len(devs)
     devs = devs[:n]
-    if dp is None:
-        dp = 2 if n % 2 == 0 and n > 1 else 1
     sp = n // dp
     import numpy as np
 

@@ -32,11 +32,19 @@ def init_distributed(coordinator_address: str | None = None,
     if coordinator_address is None and "COORDINATOR_ADDRESS" in os.environ:
         coordinator_address = os.environ["COORDINATOR_ADDRESS"]
     if coordinator_address is None and num_processes is None:
-        # Single host (or TPU pod auto-discovery).
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+        # Auto-discovery: only attempt it when a cluster environment is
+        # actually advertised (TPU pod metadata / SLURM / Open MPI). A
+        # plain single host skips cleanly; a *failed* multi-host bring-up
+        # in a real cluster env propagates — it must not degrade silently
+        # to single-host.
+        cluster_env = (
+            "TPU_WORKER_HOSTNAMES", "TPU_PROCESS_ADDRESSES",
+            "MEGASCALE_COORDINATOR_ADDRESS", "SLURM_JOB_ID",
+            "OMPI_MCA_orte_hnp_uri",
+        )
+        if not any(v in os.environ for v in cluster_env):
+            return  # no cluster environment: single-host mode
+        jax.distributed.initialize()
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -45,13 +53,12 @@ def init_distributed(coordinator_address: str | None = None,
     )
 
 
-def global_mesh(dp: int | None = None):
-    """(dp, sp) mesh over all global devices (all hosts)."""
+def global_mesh(dp: int = 1):
+    """(dp, sp) mesh over all global devices (all hosts). All devices go
+    to the spatial axis by default; pass dp for batch sharding."""
     import numpy as np
     from jax.sharding import Mesh
 
     devs = jax.devices()  # global device list across processes
     n = len(devs)
-    if dp is None:
-        dp = 2 if n % 2 == 0 and n > 1 else 1
     return Mesh(np.asarray(devs).reshape(dp, n // dp), ("dp", "sp"))

@@ -86,6 +86,38 @@ def decode_image_tiled(streams: list[bytes], cfg: CodecConfig,
     return out
 
 
+def decode_container_tiled(cfg: CodecConfig, streams: list[bytes],
+                           tiles: tuple[int, int]) -> np.ndarray:
+    """Decode a mode-1 tiled container (independent per-tile codecs) read
+    back from container.read_container. Stream order is raster over the
+    (ty, tx) tile grid, channels-in-tile, two substreams per plane."""
+    import dataclasses
+
+    tx, ty = tiles
+    if cfg.width % tx or cfg.height % ty:
+        raise ValueError(f"tiled container dims {cfg.width}x{cfg.height} "
+                         f"not divisible by tile grid {tx}x{ty}")
+    tcfg = dataclasses.replace(
+        cfg, width=cfg.width // tx, height=cfg.height // ty
+    )
+    per_tile = cfg.channels * 2
+    shape = (
+        (cfg.height, cfg.width)
+        if cfg.channels == 1
+        else (cfg.height, cfg.width, 3)
+    )
+    out = np.empty(shape, np.int32)
+    for j in range(ty):
+        for i in range(tx):
+            sub = streams[(j * tx + i) * per_tile :][:per_tile]
+            tile = image_codec.decode_plane_streams(sub, tcfg)
+            out[
+                j * tcfg.height : (j + 1) * tcfg.height,
+                i * tcfg.width : (i + 1) * tcfg.width,
+            ] = tile
+    return out
+
+
 # --------------------------------------------------------------------------
 # Mode 2: globally-consistent DWT (ppermute halos) + per-tile entropy.
 # Decoded pixels are bit-identical to the untiled codec; only the stream

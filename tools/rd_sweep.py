@@ -76,7 +76,7 @@ def sweep(img, name):
 
 
 def main():
-    paths = sys.argv[1:] or sorted(glob.glob("build/corpus/*.pgm"))
+    paths = sys.argv[1:] or sorted(glob.glob("corpus/*.pgm"))
     for p in paths:
         img = pnm.read_pnm(p)
         if img.ndim == 3:

@@ -50,14 +50,14 @@ def corpus(rng, h, w):
 
 
 def natural_corpus(h, w):
-    """Natural test images from build/corpus (tools' corpus prep), cropped
+    """Natural test images from corpus (tools' corpus prep), cropped
     or tiled to (h, w) grayscale."""
     import glob
 
     from ric_tpu.utils import pnm
 
     out = []
-    for path in sorted(glob.glob("build/corpus/*.pgm")):
+    for path in sorted(glob.glob("corpus/*.pgm")):
         img = pnm.read_pnm(path)
         ih, iw = img.shape[:2]
         reps = (-(-h // ih), -(-w // iw))
