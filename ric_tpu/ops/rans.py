@@ -77,6 +77,200 @@ def build_tables(freqs: np.ndarray):
     }
 
 
+# ==========================================================================
+# v2 engine: raster-word-order duplex-phase coder (gather-free decode).
+#
+# Measured on the target TPU (tools/perf_probe*.py): XLA gathers/scatters
+# serialize at ~10 ns/element in every context, while dense vector ops,
+# one-hot MXU matmuls, contiguous dynamic slices and rolls run at full
+# throughput. The v2 decoder therefore contains NO gathers:
+#   * symbol lookup: per-lane cumulative-frequency rows are fetched with a
+#     one-hot matmul against the (64, 32) table and the symbol is a
+#     compare-count (replaces the reference's serial range-decoder search,
+#     muxcodec.h:190-223, and v1's 4096-entry slot LUT gather);
+#   * renormalization words are stored in GLOBAL RASTER order (the order
+#     the decoder consumes them); each step takes a contiguous L-word
+#     window at a scalar cursor and distributes words to needing lanes by
+#     a binary-decomposition "pull" (exact for monotone 0/1-increment
+#     lags — see expand_words) — the TPU-native replacement for the
+#     reference's serial byte FIFO (muxcodec.cpp:536-579).
+#   * raw bit fields ride the same stream as uniform-table slots whose
+#     (freq, start) are pure arithmetic — the CMuxCodec range⊕raw mux
+#     (SURVEY §2 #5) reborn without a second substream.
+# ==========================================================================
+
+UNIFORM_BASE = 64  # tid >= UNIFORM_BASE + w  => raw w-bit uniform slot
+
+
+def enc_dec_tables(freq):
+    """freq: (n_tables, 32) int rows summing to M. Returns dense f32 rows
+    for the gather-free scan: cum (inclusive cumulative freqs) and comb
+    (freq + start * M, < 2^24 so exact in f32)."""
+    freq = jnp.asarray(freq, jnp.int32)
+    cum = jnp.cumsum(freq, axis=1)
+    start = cum - freq
+    comb = freq + start * M
+    return {
+        "cum": cum.astype(jnp.float32),
+        "comb": comb.astype(jnp.float32),
+        "freq_i": freq,
+        "start_i": start,
+    }
+
+
+def model_rows(tables, tid):
+    """One-hot matmul row fetch: tid (L,) int32 -> (cum_rows, comb_rows)
+    each (L, 32) f32."""
+    ntab = tables["cum"].shape[0]
+    cols = jnp.arange(ntab, dtype=jnp.int32)
+    ohot = (tid[:, None] == cols[None, :]).astype(jnp.float32)
+    cum = jnp.dot(ohot, tables["cum"], precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    comb = jnp.dot(ohot, tables["comb"], precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
+    return cum, comb
+
+
+def model_transition(tables, x, tid, act):
+    """Decode one model-table symbol per lane. Returns (sym, xn) where xn
+    is the pre-renormalization state; inactive lanes keep x."""
+    slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+    cum_rows, comb_rows = model_rows(tables, tid)
+    sym = jnp.sum(slot.astype(jnp.float32)[:, None] >= cum_rows,
+                  axis=1).astype(jnp.int32)
+    a32 = jnp.arange(32, dtype=jnp.int32)
+    ohs = (sym[:, None] == a32[None, :]).astype(jnp.float32)
+    both = jnp.sum(comb_rows * ohs, axis=1).astype(jnp.int32)
+    f = jnp.where(act, (both & (M - 1)).astype(jnp.uint32), jnp.uint32(1))
+    st = jnp.where(act, (both >> M_BITS).astype(jnp.uint32), jnp.uint32(0))
+    xn = f * (x >> M_BITS) + slot.astype(jnp.uint32) - st
+    return jnp.where(act, sym, 0), jnp.where(act, xn, x)
+
+
+def uniform_transition(x, width, act):
+    """Decode a raw `width`-bit value per lane (width (L,) int32 in
+    [0, 12]); freq = M >> width, start = v << (12 - width) — no tables."""
+    act = act & (width > 0)
+    slot = (x & jnp.uint32(M - 1)).astype(jnp.int32)
+    sh = (M_BITS - jnp.clip(width, 0, M_BITS)).astype(jnp.uint32)
+    v = (slot >> sh).astype(jnp.int32)
+    f = (jnp.uint32(1) << sh)
+    st = v.astype(jnp.uint32) << sh
+    xn = f * (x >> M_BITS) + slot.astype(jnp.uint32) - st
+    return jnp.where(act, v, 0), jnp.where(act, xn, x)
+
+
+def expand_words(win, need):
+    """w[l] = win[p_l] with p = exclusive cumsum of need — gather-free.
+
+    The lag s_l = (number of non-needing lanes before l) is monotone with
+    0/1 increments, so pulling from distance 2^b for each set bit of s
+    (high to low) is exact: after the stages above bit b, the applied
+    shift at any two lanes within 2^b of each other is identical (both
+    equal the high bits of s), so every pull grabs the right element."""
+    L = need.shape[0]
+    non = 1 - need.astype(jnp.int32)
+    s = jnp.cumsum(non) - non
+    cur = win
+    b = max(L - 1, 1).bit_length() - 1
+    for bb in range(b, -1, -1):
+        d = 1 << bb
+        if d >= L:
+            continue
+        shifted = jnp.concatenate([cur[-d:], cur[:-d]])
+        cur = jnp.where((s >> bb) & 1 == 1, shifted, cur)
+    return cur
+
+
+def renorm(xn, act, stream, gpos):
+    """Read renormalization words for lanes whose state dropped below
+    RANS_L. stream: (N,) u32 of 16-bit words (raster order), padded by at
+    least L zeros past the payload. Returns (x, gpos')."""
+    L = xn.shape[0]
+    need = act & (xn < RANS_L)
+    win = jax.lax.dynamic_slice(stream, (gpos,), (L,))
+    w = expand_words(win, need)
+    x = jnp.where(need, (xn << 16) | w, xn)
+    return x, gpos + jnp.sum(need.astype(jnp.int32))
+
+
+# --------------------------- encoder side ---------------------------------
+
+
+def enc_pack_model(tables, sym, tid, act):
+    """(freq, start) for model slots, packed as act | f<<1 | start<<13.
+    Narrow one-hot over the table id keeps this off the gather path."""
+    ntab = tables["cum"].shape[0]
+    cols = jnp.arange(ntab, dtype=jnp.int32)
+    ohot = (tid[:, None] == cols[None, :]).astype(jnp.float32)
+    comb_rows = jnp.dot(ohot, tables["comb"],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+    a32 = jnp.arange(32, dtype=jnp.int32)
+    ohs = (jnp.clip(sym, 0, 31)[:, None] == a32[None, :]).astype(jnp.float32)
+    both = jnp.sum(comb_rows * ohs, axis=1).astype(jnp.int32)
+    f = (both & (M - 1)).astype(jnp.uint32)
+    st = (both >> M_BITS).astype(jnp.uint32)
+    return jnp.where(
+        act,
+        jnp.uint32(1) | (f << 1) | (st << 13),
+        jnp.uint32(0),
+    )
+
+
+def enc_pack_uniform(val, width, act):
+    """Packed (freq, start) for raw `width`-bit slots."""
+    act = act & (width > 0)
+    sh = (M_BITS - jnp.clip(width, 0, M_BITS)).astype(jnp.uint32)
+    f = jnp.uint32(1) << sh
+    st = val.astype(jnp.uint32) << sh
+    return jnp.where(act, jnp.uint32(1) | (f << 1) | (st << 13),
+                     jnp.uint32(0))
+
+
+def encode_packed(packed):
+    """Reverse-order encode over a (T, L) packed (act|f|start) grid.
+
+    Returns (states (L,) u32, emit (T, L) bool, words (T, L) u32): the
+    word emitted while encoding slot (t, l) is exactly the word the
+    decoder reads after decoding slot (t, l), and the decoder consumes
+    words in (t, lane) raster order — so compaction is a raster-order
+    prefix-sum scatter, and decoding is a contiguous cursor walk."""
+    T, L = packed.shape
+    if T == 0:
+        return (
+            jnp.full((L,), RANS_L, jnp.uint32),
+            jnp.zeros((0, L), bool),
+            jnp.zeros((0, L), jnp.uint32),
+        )
+
+    def step(x, pk):
+        act = (pk & 1) == 1
+        f = jnp.where(act, (pk >> 1) & jnp.uint32(0xFFF), 1)
+        st = (pk >> 13)
+        emit = act & (x >= (f << 20))
+        word = x & jnp.uint32(0xFFFF)
+        x1 = jnp.where(emit, x >> 16, x)
+        xn = ((x1 // f) << M_BITS) + (x1 % f) + st
+        return jnp.where(act, xn, x), (emit, word)
+
+    x0 = jnp.full((L,), RANS_L, jnp.uint32) + (packed[0] * 0)
+    xf, (emit_r, words_r) = jax.lax.scan(
+        step, x0, jnp.flip(packed, axis=0))
+    return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
+
+
+def compact_words(emit, words, cap: int):
+    """Raster-order compaction of emitted 16-bit words into a (cap,) u32
+    array holding one word each. Returns (stream, n_words)."""
+    e = emit.ravel()
+    pos = jnp.cumsum(e.astype(jnp.int32)) - e.astype(jnp.int32)
+    stream = jnp.zeros((cap,), jnp.uint32)
+    stream = stream.at[jnp.where(e, pos, cap)].set(
+        words.ravel(), mode="drop")
+    return stream, jnp.sum(e.astype(jnp.int32))
+
+
 def _table_lookup_f32(idx, table_f32):
     """Lookup 25M-scale indices in a small table via chunked one-hot
     matmuls on the MXU (~7x faster than XLA's serialized gather on TPU).

@@ -1,0 +1,108 @@
+"""v2 raster-order duplex rANS engine: round-trip property tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ric_tpu.ops import rans
+
+
+def _random_tables(rng, ntab=8, alpha=32):
+    counts = rng.integers(1, 100, size=(ntab, alpha)).astype(np.float64)
+    freqs = rans.normalize_freqs(counts)
+    return rans.enc_dec_tables(freqs)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("L", [64, 256])
+def test_model_roundtrip(seed, L):
+    rng = np.random.default_rng(seed)
+    T = 13
+    tables = _random_tables(rng)
+    syms = jnp.asarray(rng.integers(0, 32, size=(T, L)), jnp.int32)
+    tids = jnp.asarray(rng.integers(0, 8, size=(T, L)), jnp.int32)
+    acts = jnp.asarray(rng.random((T, L)) < 0.8)
+
+    packed = jax.vmap(
+        lambda s, t, a: rans.enc_pack_model(tables, s, t, a)
+    )(syms, tids, acts)
+    states, emit, words = rans.encode_packed(packed)
+    cap = T * L + L
+    stream, nw = rans.compact_words(emit, words, cap)
+
+    def dec(states, stream):
+        x = states
+        gpos = jnp.int32(0)
+        out = []
+        for t in range(T):
+            sym, xn = rans.model_transition(tables, x, tids[t], acts[t])
+            x, gpos = rans.renorm(xn, acts[t], stream, gpos)
+            out.append(sym)
+        return jnp.stack(out), x, gpos
+
+    out, xf, gpos = jax.jit(dec)(states, stream)
+    got = np.asarray(out)
+    want = np.where(np.asarray(acts), np.asarray(syms), 0)
+    assert np.array_equal(got, want)
+    assert int(gpos) == int(nw)
+    assert np.all(np.asarray(xf) == rans.RANS_L)
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_duplex_model_uniform_roundtrip(seed):
+    """Fused steps: a model phase followed by a uniform phase whose width
+    depends on the model symbol (the s+refinement structure)."""
+    rng = np.random.default_rng(seed)
+    T, L = 9, 128
+    tables = _random_tables(rng)
+    syms = jnp.asarray(rng.integers(0, 13, size=(T, L)), jnp.int32)
+    tids = jnp.asarray(rng.integers(0, 8, size=(T, L)), jnp.int32)
+    acts = jnp.asarray(rng.random((T, L)) < 0.7)
+    widths = jnp.where(acts, jnp.asarray(syms) % 13, 0)
+    vals_np = rng.integers(0, 1 << 12, size=(T, L)).astype(np.int64)
+    vals_np &= (1 << np.asarray(widths)) - 1
+    vals = jnp.asarray(vals_np, jnp.int32)
+
+    pk_a = jax.vmap(
+        lambda s, t, a: rans.enc_pack_model(tables, s, t, a)
+    )(syms, tids, acts)
+    pk_b = jax.vmap(rans.enc_pack_uniform)(vals, widths, acts)
+    # interleave phases: (T, 2, L) -> (2T, L)
+    packed = jnp.stack([pk_a, pk_b], axis=1).reshape(2 * T, L)
+    states, emit, words = rans.encode_packed(packed)
+    stream, nw = rans.compact_words(emit, words, 2 * T * L + L)
+
+    def dec(states, stream):
+        x = states
+        gpos = jnp.int32(0)
+        out_s, out_v = [], []
+        for t in range(T):
+            sym, xn = rans.model_transition(tables, x, tids[t], acts[t])
+            x, gpos = rans.renorm(xn, acts[t], stream, gpos)
+            w = jnp.where(acts[t], sym % 13, 0)
+            v, xn = rans.uniform_transition(x, w, acts[t])
+            x, gpos = rans.renorm(xn, acts[t] & (w > 0), stream, gpos)
+            out_s.append(sym)
+            out_v.append(v)
+        return jnp.stack(out_s), jnp.stack(out_v), x
+
+    out_s, out_v, xf = jax.jit(dec)(states, stream)
+    want_s = np.where(np.asarray(acts), np.asarray(syms), 0)
+    assert np.array_equal(np.asarray(out_s), want_s)
+    want_v = np.where(np.asarray(acts) & (np.asarray(widths) > 0),
+                      vals_np, 0)
+    assert np.array_equal(np.asarray(out_v), want_v)
+    assert np.all(np.asarray(xf) == rans.RANS_L)
+
+
+def test_expand_words_exhaustive_small():
+    rng = np.random.default_rng(7)
+    for L in (8, 32, 128):
+        for density in (0.0, 0.3, 0.7, 1.0):
+            need = jnp.asarray(rng.random(L) < density)
+            win = jnp.asarray(rng.integers(0, 1 << 16, size=L), jnp.uint32)
+            w = np.asarray(jax.jit(rans.expand_words)(win, need))
+            nd = np.asarray(need)
+            p = np.cumsum(nd) - nd
+            expect = np.asarray(win)[p.astype(int)]
+            assert np.array_equal(w[nd], expect[nd])
