@@ -54,23 +54,18 @@ def build_roundtrip(cfg: CodecConfig):
     dec = ic.build_decode_plane(cfg, chroma=False)
     plans, _ = ic.make_plane_plans(cfg, chroma=False)
     L = ic._lanes(cfg)
-    capB16 = ic._cap_words_rans(plans, L) * 2
+    cap16 = ic._cap_words16(plans, L) + L + 8
 
     def roundtrip(x):
         wA, tA, wB, tB = enc(x)
         states = wB[:L]
-        cwords = wB[L : L + L // 2]
-        counts = jnp.stack(
-            [cwords & jnp.uint32(0xFFFF), cwords >> 16], axis=1
-        ).reshape(-1).astype(jnp.int32)
-        lane_base = jnp.cumsum(counts) - counts
-        body = wB[L + L // 2 :]
-        s16 = jnp.zeros((capB16,), jnp.uint32)
+        body = wB[L:]
         inter = jnp.stack(
             [body & jnp.uint32(0xFFFF), body >> 16], axis=1
         ).reshape(-1)
-        s16 = s16.at[: inter.shape[0]].set(inter)
-        return dec(wA, states, lane_base, s16), tA, tB
+        s16 = jnp.zeros((cap16,), jnp.uint32)
+        s16 = s16.at[: inter.shape[0]].set(inter[:cap16])
+        return dec(wA, states, s16), tA, tB
 
     return jax.jit(roundtrip)
 

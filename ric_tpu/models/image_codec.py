@@ -4,30 +4,36 @@ reference CompressImage/DecompressImage + CWavelet2D::CodeBand/DecodeBand
 
 Encode pipeline (one fused jit per plane):
   DWT (ops/lifting) -> per-band TSUQ + R/D kill (ops/blocks) -> zerotree
-  subtree counts -> entropy sections -> interleaved-lane rANS (ops/rans)
-  for the model-coded symbols + one global prefix-sum bit pack
-  (ops/bitpack) for the raw fields.
+  subtree counts -> per-band entropy phases -> ONE interleaved-lane rANS
+  stream (ops/rans v2) carrying both model-coded symbols and raw bit
+  fields (as arithmetic uniform-table slots) in global raster word order.
 
-Decode mirrors it: section offsets/masks derive from previously decoded
-sections, so decode is parallel across blocks/lanes — unlike the
-reference's bit-serial range/VLC decode (SURVEY.md §7 hard part #1).
+Decode mirrors it as a sequence of per-band scans over the same stream;
+every step is dense vector math + one contiguous window slice — there are
+NO per-element gathers anywhere on the decode path (XLA TPU gathers
+serialize; see ops/rans.py v2 header).
 
 Per plane the container carries TWO substreams:
-  A (raw bits):  per band: pattern-rank phase-in hi, 1-bit extensions,
-                 magnitude refinement+sign fields
-  B (rANS):      L lane states then 16-bit renorm words; symbols per band:
-                 z (zerotree bit, ctx = parent 2x2 max bitlen),
-                 k (count, ctx same; finest bands code k-1),
-                 s (coeff size class bitlen(mag-1), ctx = min(k-1,15))
+  A: the per-image rANS table section (12-bit fields), empty when the
+     static bucket tables are used
+  B: [L x u32 lane states][16-bit renorm words, raster order]
 
 Band order (coarse -> fine so zerotree parents decode first):
   [LL residual] then per level (coarsest..finest): V, H, D.
+Per band, slots are consumed in fused multi-phase steps:
+  ZK scan   (1 slot/block):  z zerotree bit (ctx = parent 2x2 max bitlen)
+                             then k count (same ctx; finest bands code k-1)
+  PAT scan  (1 slot/block):  C(16,k) pattern rank, phase-in split into a
+                             <=12-bit top field + derived low/extra bits
+  SREF scan (1 slot/coeff):  s size class (model, ctx = min(k-1,15)) then
+                             the refinement+sign raw field in the same
+                             step; bands whose static interval bound
+                             (ops/bounds) exceeds 12 bits get an extra
+                             overflow phase.
 
 The LL band is delta-coded with the separable 2-D gradient
 r = x - left - up + upleft (the reference's interior DPCM predictor,
-bandcodec.cpp:90-101) whose inverse is a 2-D cumulative sum, so both
-directions are parallel; the reference's serial adaptive-context geometric
-coder is replaced by the same block machinery over the residual.
+bandcodec.cpp:90-101) whose inverse is a 2-D cumulative sum.
 """
 from __future__ import annotations
 
@@ -39,13 +45,20 @@ import jax
 import jax.numpy as jnp
 
 from ric_tpu.config import CodecConfig, Transform, BLK_SIZE, SHIFT
-from ric_tpu.ops import bitpack, blocks, enumcode, lifting, rans
+from ric_tpu.ops import bitpack, blocks, bounds, enumcode, lifting, rans
 from ric_tpu.ops import quant as qops
 from ric_tpu.models import tables as tbl
 from ric_tpu.utils.bits import bitlen, s2u_, u2s_
 from ric_tpu.utils import container
 
 _POW2_15 = 1 << (15 - np.arange(16))
+
+# phase-in splits with hi wider than 12 bits need an even threshold so the
+# long-code flag stays derivable from the top bits alone
+assert all(
+    int(enumcode.CNK_TH[k]) % 2 == 0
+    for k in range(17) if int(enumcode.CNK_L[k]) > 12
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +71,7 @@ class BandPlan:
     grid: tuple          # block grid of the padded band
     q: int               # band quant step
     rd: tuple            # R/D kill thresholds (16 ints)
+    wmax: int = 15       # static bound on the refinement field length
 
 
 def band_shapes(lh: int, lw: int):
@@ -70,6 +84,14 @@ def _grid(shape):
     return ((shape[0] + 3) // 4, (shape[1] + 3) // 4)
 
 
+def _input_bound(cfg: CodecConfig) -> int:
+    if cfg.q_step >= 0:
+        return 1 << 13  # video path: 12-bit-domain residuals
+    if cfg.lossless or cfg.input_depth != 8:
+        return 1 << (cfg.input_depth - 1)
+    return (1 << 7) << SHIFT
+
+
 def make_plane_plans(cfg: CodecConfig, chroma: bool):
     """Band plans in stream order + the level dims list."""
     dims = lifting.level_dims(cfg.width, cfg.height, cfg.levels)
@@ -77,12 +99,17 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
     weights = qops.band_weights(cfg.transform, nlev)
     quant = cfg.chroma_quant() if chroma else cfg.luma_quant()
     lam = cfg.chroma_lambda() if chroma else cfg.luma_lambda()
+    abs_b = bounds.band_abs_bounds(
+        Transform(cfg.transform), nlev, _input_bound(cfg))
 
     plans = []
     ll_shape = band_shapes(*dims[-1])["L"]
     wq = qops.band_quant(quant, weights[nlev - 1]["L"])
+    # LL residual: 2-D gradient of TSUQ'd lowpass, quantized with step 1
+    ll_res_bound = 4 * (abs_b[nlev - 1]["L"] // max(wq, 1) + 1) + 2
     plans.append(
-        BandPlan("L", "L", nlev - 1, "ll", ll_shape, _grid(ll_shape), wq, ())
+        BandPlan("L", "L", nlev - 1, "ll", ll_shape, _grid(ll_shape), wq, (),
+                 bounds.flen_bound(ll_res_bound, 1))
     )
     for lvl in range(nlev - 1, -1, -1):
         shapes = band_shapes(*dims[lvl])
@@ -95,18 +122,17 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
                 BandPlan(
                     f"{orient}{lvl}", orient, lvl, kind,
                     shapes[orient], _grid(shapes[orient]), q, rd,
+                    bounds.flen_bound(abs_b[lvl][orient], q),
                 )
             )
     return plans, dims
 
 
 def _lanes(cfg: CodecConfig) -> int:
-    """Lane count trades VPU width against the fixed 4-byte/lane state
+    """Lane count trades per-step fixed cost against the 4-byte/lane state
     flush; heavily-quantized streams are tiny, so they get fewer lanes."""
     npix = cfg.width * cfg.height
     coarse = tbl.rate_bucket(cfg.quant) == 3 or cfg.q_step >= 256
-    # TPU scan steps have ~10-20us fixed overhead, so wide lanes matter
-    # more than VPU width; 4-byte/lane state flush bounds the low end.
     shift = 13 if coarse else 9
     l = 1 << max(6, (npix >> shift).bit_length())
     return min(32768, l)
@@ -114,8 +140,7 @@ def _lanes(cfg: CodecConfig) -> int:
 
 def _use_image_tables(cfg: CodecConfig) -> bool:
     """Two-pass per-image rANS tables: worth their ~1.6 KB stream cost for
-    big enough streams (breakdown: corpus-average tables lose 0.1-0.25 bpp
-    of cross-entropy on 512x512 content). Static rule, both sides agree."""
+    big enough streams. Static rule, both sides agree."""
     return (
         cfg.width * cfg.height >= (1 << 18)
         and tbl.rate_bucket(cfg.quant) <= 2
@@ -128,22 +153,31 @@ _N_VALID = len(_VALID_POS)
 _TABLE_SECTION_BITS = _N_VALID * 12
 
 
-def _cap_words_raw(plans) -> int:
-    bits = 0
-    for p in plans:
-        nblk = p.grid[0] * p.grid[1]
-        bits += nblk * (15 + 16 * 32)
-    return bits // 32 + 8
+def _ref_phases(p: BandPlan) -> int:
+    return 1 + (1 if p.wmax > 12 else 0) + (1 if p.wmax > 24 else 0)
 
 
-def _cap_words_rans(plans, L) -> int:
-    slots = 0
+def _plan_rows(plans, L: int) -> int:
+    """Total packed-grid rows (= scan steps across all bands/phases)."""
+    rows = 0
     for p in plans:
-        nblk = p.grid[0] * p.grid[1]
-        for nmax in (nblk, nblk, nblk * 16):
-            slots += -(-nmax // L) * L
-    # states (32b) + per-lane word counts (16b) + words (16b each)
-    return (L * 32 + L * 16 + slots * 16) // 32 + 8
+        n = p.grid[0] * p.grid[1]
+        t_blk = -(-n // L)
+        t_cf = -(-(n * 16) // L)
+        rows += 2 * t_blk            # ZK
+        rows += 2 * t_blk            # PAT
+        rows += (1 + _ref_phases(p)) * t_cf   # SREF
+    return rows
+
+
+def _cap_words_a(cfg) -> int:
+    return _TABLE_SECTION_BITS // 32 + 2
+
+
+def _cap_words16(plans, L: int) -> int:
+    """Worst-case 16-bit word count of stream B's word section: one word
+    per slot plus slack."""
+    return _plan_rows(plans, L) * L + 64
 
 
 def _grad2d(x):
@@ -173,221 +207,299 @@ def _coeff_size_fields(u_blk, k):
     return active, s, field, flen, ctx
 
 
+def _sel17(table_np, k):
+    """Static 17-entry table lookup as a select chain (no gathers)."""
+    out = jnp.zeros(k.shape, jnp.int32)
+    for kk in range(17):
+        v = int(table_np[kk])
+        if v:
+            out = jnp.where(k == kk, jnp.int32(v), out)
+    return out
+
+
+def _pat_split(rank, k):
+    """Encoder-side phase-in split of the pattern rank into the two slot
+    values/widths (decoder derives plong/widths identically)."""
+    pl = _sel17(enumcode.CNK_L, k)
+    th = _sel17(enumcode.CNK_TH, k)
+    plong = (rank >= th).astype(jnp.int32)
+    hi = jnp.where(plong == 1, (rank + th) >> 1, rank)
+    ex = jnp.where(plong == 1, (rank + th) & 1, 0)
+    r = jnp.maximum(pl - 12, 0)          # hi bits that spill to phase B
+    wa = pl - r                          # phase A width (= min(pl, 12))
+    va = hi >> r
+    wb = r + plong
+    vb = ((hi & ((jnp.int32(1) << r) - 1)) << plong) | ex
+    return va, wa, vb, wb
+
+
+def _pat_widths_b(va, k):
+    """Decoder-side phase-B width from the phase-A value (valid because
+    CNK_TH is even whenever pl > 12)."""
+    pl = _sel17(enumcode.CNK_L, k)
+    th = _sel17(enumcode.CNK_TH, k)
+    r = jnp.maximum(pl - 12, 0)
+    plong = (va >= (th >> r)).astype(jnp.int32)
+    return r, plong, th
+
+
+def _pat_join(va, vb, r, plong, th):
+    hi = (va << r) | ((vb >> plong) & ((jnp.int32(1) << r) - 1))
+    ex = vb & plong
+    long_code = hi >= th
+    return jnp.where(long_code, ((hi << 1) | ex) - th, hi)
+
+
+def _ref_split(field, flen, phases: int):
+    """Split the refinement field into `phases` uniform slots of <=12 bits
+    (top bits first)."""
+    outs = []
+    rem = flen
+    for i in range(phases):
+        below = jnp.maximum(rem - 12, 0)
+        w = rem - below
+        outs.append(((field >> below) & ((jnp.int32(1) << w) - 1), w))
+        rem = below
+    return outs
+
+
+def _ref_join(parts):
+    """parts: list of (value, width) from coarse to fine."""
+    acc = jnp.zeros_like(parts[0][0])
+    for v, w in parts:
+        acc = (acc << w) | v
+    return acc
+
+
 # --------------------------------------------------------------------------
 # Encoder
 # --------------------------------------------------------------------------
 
 
-def _merge_mags(cfg: CodecConfig) -> bool:
-    """Magnitude fields of adjacent coefficient pairs are packed into one
-    field when the per-field bound guarantees pairs fit 32 bits: 8-bit
-    input with cdf53/haar keeps |coeff| < 2^15 at any level (gain <= 2 per
-    level), so fields are <= 16 bits. Halves the dominant scatter count.
-    cdf97's adversarial worst case can exceed that; it stays unmerged."""
-    return cfg.input_depth == 8 and Transform(cfg.transform) != Transform.CDF97
+def _payload_from_pyramid(plans, pyr):
+    """Quantize + zerotree + per-band payload arrays (encoder forward
+    half; also drives the table-fitting statistics pass)."""
+    nlev = len(pyr)
+    plan_by_name = {p.name: p for p in plans}
 
-
-def _plane_sections(cfg: CodecConfig, plans, L: int, x):
-    """Shared encoder front half: transform, quantize, zerotree, and emit
-    (raw fields, rANS symbol grids). Used by the real encoder and by the
-    table-generator statistics pass (tools/tablegen.py, the huffgen
-    equivalent — reference utils/huffgen.cpp)."""
-    pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
-    return _sections_from_pyramid(plans, L, pyr, merge_mags=_merge_mags(cfg))
-
-
-def _sections_from_pyramid(plans, L: int, pyr, merge_mags: bool = False):
-    """Quantize + zerotree + section emission for an already-transformed
-    pyramid (also used by the tiled path, where the DWT is the
-    halo-exchanged distributed transform)."""
-    if True:
-        nlev = len(pyr)
-        plan_by_name = {p.name: p for p in plans}
-
-        # 1. quantize all bands
-        u_bands, counts = {}, {}
-        for lvl in range(nlev):
-            for orient in ("V", "H", "D"):
-                p = plan_by_name[f"{orient}{lvl}"]
-                u, c = blocks.quantize_blocks(
-                    blocks.pad4(pyr[lvl][orient]), p.q,
-                    np.asarray(p.rd, np.int32),
-                )
-                u_bands[p.name] = u
-                counts[p.name] = c
-        pll = plan_by_name["L"]
-        qll = qops.tsuq(pyr[nlev - 1]["L"], pll.q)
-        u_bands["L"], counts["L"] = blocks.quantize_blocks(
-            blocks.pad4(_grad2d(qll)), 1, np.zeros(16, np.int32)
-        )
-
-        # 2. zerotree masks
-        sig, insig, alive = {}, {}, {}
+    u_bands, counts = {}, {}
+    for lvl in range(nlev):
         for orient in ("V", "H", "D"):
-            chain = [counts[f"{orient}{l}"] for l in range(nlev)]
-            sub = blocks.subtree_counts(chain)
-            for lvl in range(nlev - 1, -1, -1):
-                name = f"{orient}{lvl}"
-                if lvl == nlev - 1:
-                    a = jnp.ones(chain[lvl].shape, bool)
-                else:
-                    a = blocks.upsample_sig(
-                        sig[f"{orient}{lvl+1}"], chain[lvl].shape
-                    )
-                sig[name] = a & (sub[lvl] > 0)
-                insig[name] = a & (sub[lvl] == 0)
-                alive[name] = a
-
-        # 3. contexts (parent 2x2 max bitlen; 15 where parentless)
-        ctxs = {}
-        for p in plans:
-            if p.kind == "ll" or p.level == nlev - 1:
-                ctxs[p.name] = jnp.full(p.grid, 15, jnp.int32)
-            else:
-                par = plan_by_name[f"{p.orient}{p.level+1}"]
-                par_u2d = blocks.from_blocks(
-                    u_bands[par.name], par.grid[0] * 4, par.grid[1] * 4
-                )
-                ctxs[p.name] = blocks.parent_ctx(par_u2d, p.grid)
-
-        # 4. emit sections
-        rawv, rawl = [], []
-        sym_g, tid_g, act_g = [], [], []
-        diag = {
-            "pattern_bits": jnp.int32(0),
-            "refine_bits": jnp.int32(0),
-        }
-
-        def add_section(sym, tid, act):
-            sym_g.append(rans.to_grid(sym.ravel(), L))
-            tid_g.append(rans.to_grid(tid.ravel(), L))
-            act_g.append(rans.to_grid(act.ravel(), L, fill=False))
-
-        for p in plans:
-            u_blk = u_bands[p.name]
-            k = counts[p.name]
-            ctx = ctxs[p.name]
-            if p.kind == "ll":
-                s_mask = jnp.ones(p.grid, bool)
-            else:
-                s_mask = sig[p.name]
-                add_section(
-                    insig[p.name].astype(jnp.int32),
-                    tbl.Z_BASE + ctx, alive[p.name],
-                )
-            # k section
-            if p.kind == "high":
-                add_section(k - 1, tbl.KH_BASE + ctx, s_mask)
-            else:
-                add_section(k, tbl.KL_BASE + ctx, s_mask)
-            # pattern (raw phase-in, split)
-            pattern = _pattern_of(u_blk)
-            rank = enumcode.pattern_rank(pattern, k)
-            pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
-            pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
-            plong = (rank >= pth).astype(jnp.int32)
-            phi = jnp.where(plong == 1, (rank + pth) >> 1, rank)
-            pex = jnp.where(plong == 1, (rank + pth) & 1, 0)
-            sm = s_mask.astype(jnp.int32)
-            rawv += [phi.ravel(), pex.ravel()]
-            rawl += [(sm * pl).ravel(), (sm * plong).ravel()]
-            # coeff sizes (rANS) + refinement/sign (raw)
-            active, s, field, flen, sctx = _coeff_size_fields(u_blk, k)
-            add_section(
-                s, (tbl.S_BASE + sctx)[..., None] * jnp.ones((1, 1, 16), jnp.int32),
-                active,
+            p = plan_by_name[f"{orient}{lvl}"]
+            u, c = blocks.quantize_blocks(
+                blocks.pad4(pyr[lvl][orient]), p.q,
+                np.asarray(p.rd, np.int32),
             )
-            if merge_mags:
-                f2 = field.reshape(field.shape[:-1] + (8, 2))
-                l2 = flen.reshape(flen.shape[:-1] + (8, 2))
-                mv = f2[..., 0].astype(jnp.uint32) | (
-                    f2[..., 1].astype(jnp.uint32) << l2[..., 0]
-                )
-                rawv.append(mv.ravel())
-                rawl.append((l2[..., 0] + l2[..., 1]).ravel())
-            else:
-                rawv.append(field.ravel())
-                rawl.append(flen.ravel())
-            diag["pattern_bits"] += jnp.sum(sm * pl) + jnp.sum(sm * plong)
-            diag["refine_bits"] += jnp.sum(flen)
-
-    return (
-        jnp.concatenate(rawv),
-        jnp.concatenate(rawl),
-        jnp.concatenate(sym_g, axis=0),
-        jnp.concatenate(tid_g, axis=0),
-        jnp.concatenate(act_g, axis=0),
-        diag,
+            u_bands[p.name] = u
+            counts[p.name] = c
+    pll = plan_by_name["L"]
+    qll = qops.tsuq(pyr[nlev - 1]["L"], pll.q)
+    u_bands["L"], counts["L"] = blocks.quantize_blocks(
+        blocks.pad4(_grad2d(qll)), 1, np.zeros(16, np.int32)
     )
+
+    sig, insig, alive = {}, {}, {}
+    for orient in ("V", "H", "D"):
+        chain = [counts[f"{orient}{l}"] for l in range(nlev)]
+        sub = blocks.subtree_counts(chain)
+        for lvl in range(nlev - 1, -1, -1):
+            name = f"{orient}{lvl}"
+            if lvl == nlev - 1:
+                a = jnp.ones(chain[lvl].shape, bool)
+            else:
+                a = blocks.upsample_sig(
+                    sig[f"{orient}{lvl+1}"], chain[lvl].shape
+                )
+            sig[name] = a & (sub[lvl] > 0)
+            insig[name] = a & (sub[lvl] == 0)
+            alive[name] = a
+
+    payload = []
+    for p in plans:
+        u_blk = u_bands[p.name]
+        k = counts[p.name]
+        if p.kind == "ll" or p.level == nlev - 1:
+            ctx = jnp.full(p.grid, 15, jnp.int32)
+        else:
+            par = plan_by_name[f"{p.orient}{p.level+1}"]
+            par_u2d = blocks.from_blocks(
+                u_bands[par.name], par.grid[0] * 4, par.grid[1] * 4
+            )
+            ctx = blocks.parent_ctx(par_u2d, p.grid)
+        if p.kind == "ll":
+            a = jnp.ones(p.grid, bool)
+            z = jnp.zeros(p.grid, jnp.int32)
+            s_mask = a
+            z_act = jnp.zeros(p.grid, bool)
+        else:
+            a = alive[p.name]
+            z = insig[p.name].astype(jnp.int32)
+            s_mask = sig[p.name]
+            z_act = a
+        pattern = _pattern_of(u_blk)
+        rank = enumcode.pattern_rank(pattern, k)
+        va, wa, vb, wb = _pat_split(rank, k)
+        active, s, field, flen, sctx = _coeff_size_fields(u_blk, k)
+        payload.append({
+            "plan": p, "u": u_blk, "k": k, "ctx": ctx, "alive": a,
+            "z": z, "z_act": z_act, "sig": s_mask,
+            "pat_va": va, "pat_wa": wa, "pat_vb": vb, "pat_wb": wb,
+            "active": active, "s": s, "field": field, "flen": flen,
+            "sctx": sctx,
+        })
+    return payload
+
+
+def _plane_payload(cfg: CodecConfig, plans, x):
+    pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
+    return _payload_from_pyramid(plans, pyr)
+
+
+def _hist_from_payload(payload, L_unused=None):
+    """Model-slot histograms via narrow one-hot matmuls (gather-free)."""
+    hist = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.float32)
+
+    def acc(hist, base, ctx, sym, act, nsym):
+        ctx = ctx.ravel()
+        sym = jnp.clip(sym.ravel(), 0, nsym - 1)
+        act = act.ravel()
+        c16 = jnp.arange(16, dtype=jnp.int32)
+        an = jnp.arange(nsym, dtype=jnp.int32)
+        ohc = (ctx[:, None] == c16[None, :]).astype(jnp.float32)
+        ohs = (sym[:, None] == an[None, :]).astype(jnp.float32)
+        ohs = ohs * act.astype(jnp.float32)[:, None]
+        h = jnp.dot(ohc.T, ohs, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32)
+        pad = tbl.ALPHABET - nsym
+        if pad:
+            h = jnp.pad(h, ((0, 0), (0, pad)))
+        return jax.lax.dynamic_update_slice(
+            hist, jax.lax.dynamic_slice(hist, (base, 0), (16, tbl.ALPHABET))
+            + h, (base, 0))
+
+    for pay in payload:
+        p = pay["plan"]
+        if p.kind != "ll":
+            hist = acc(hist, tbl.Z_BASE, pay["ctx"], pay["z"],
+                       pay["z_act"], 2)
+        if p.kind == "high":
+            hist = acc(hist, tbl.KH_BASE, pay["ctx"], pay["k"] - 1,
+                       pay["sig"], 16)
+        else:
+            hist = acc(hist, tbl.KL_BASE, pay["ctx"], pay["k"],
+                       pay["sig"], 17)
+        sctx = pay["sctx"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
+        hist = acc(hist, tbl.S_BASE, sctx, pay["s"], pay["active"], 32)
+    return hist.astype(jnp.int32)
+
+
+def _encode_rows(plans, payload, tables, L: int):
+    """Build the full packed (rows, L) grid in decoder consumption order."""
+    all_rows = []
+
+    def grid(a, fill=0):
+        return rans.to_grid(a.ravel(), L, fill)
+
+    def interleave(gs):
+        T = gs[0].shape[0]
+        return jnp.stack(gs, axis=1).reshape(T * len(gs), L)
+
+    for pay in payload:
+        p = pay["plan"]
+        ctx, k = pay["ctx"].ravel(), pay["k"].ravel()
+        # ZK
+        pk_z = rans.enc_pack_model(
+            tables, pay["z"].ravel(), tbl.Z_BASE + ctx, pay["z_act"].ravel())
+        if p.kind == "high":
+            pk_k = rans.enc_pack_model(
+                tables, k - 1, tbl.KH_BASE + ctx, pay["sig"].ravel())
+        else:
+            pk_k = rans.enc_pack_model(
+                tables, k, tbl.KL_BASE + ctx, pay["sig"].ravel())
+        all_rows.append(interleave([grid(pk_z), grid(pk_k)]))
+        # PAT
+        sig = pay["sig"].ravel()
+        pk_a = rans.enc_pack_uniform(
+            pay["pat_va"].ravel(), pay["pat_wa"].ravel(), sig)
+        pk_b = rans.enc_pack_uniform(
+            pay["pat_vb"].ravel(), pay["pat_wb"].ravel(), sig)
+        all_rows.append(interleave([grid(pk_a), grid(pk_b)]))
+        # SREF
+        act = pay["active"].ravel()
+        sctx = (pay["sctx"][..., None]
+                * jnp.ones((1, 1, 16), jnp.int32)).ravel()
+        pk_s = rans.enc_pack_model(
+            tables, pay["s"].ravel(), tbl.S_BASE + sctx, act)
+        parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
+                           _ref_phases(p))
+        pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
+        all_rows.append(interleave([grid(pk_s)] + [grid(x) for x in pk_ref]))
+
+    return jnp.concatenate(all_rows, axis=0)
+
+
+def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
+                        payload):
+    """Shared encoder tail: payload -> (wordsA, totalA, wordsB, totalB).
+    Stream B = [L x u32 lane states][u16 words packed 2-per-u32]."""
+    if image_tables:
+        hist = _hist_from_payload(payload)
+        freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
+        enc_tables = rans.enc_dec_tables(freq)
+        tsec_vals = freq[jnp.asarray(_VALID_POS[:, 0]),
+                         jnp.asarray(_VALID_POS[:, 1])]
+        tsec_lens = jnp.full((_N_VALID,), 12, jnp.int32)
+        wordsA, totalA = bitpack.pack(tsec_vals, tsec_lens, capA)
+    else:
+        enc_tables = static_tables
+        wordsA = jnp.zeros((capA,), jnp.uint32)
+        totalA = jnp.int32(0)
+    rows = _encode_rows(plans, payload, enc_tables, L)
+    states, emit, words = rans.encode_packed(rows)
+    stream, nw = rans.compact_words(emit, words, cap16)
+    w16 = stream.reshape(-1, 2)
+    packed16 = (w16[:, 0] | (w16[:, 1] << 16)).astype(jnp.uint32)
+    wordsB = jnp.concatenate([states.astype(jnp.uint32), packed16])
+    totalB = jnp.int32(L * 32) + nw * 16
+    return wordsA, totalA, wordsB, totalB
 
 
 def build_encode_plane(cfg: CodecConfig, chroma: bool):
     plans, dims = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
-    capA = _cap_words_raw(plans) + _TABLE_SECTION_BITS // 32 + 1
-    capB = _cap_words_rans(plans, L)
+    capA = _cap_words_a(cfg)
+    cap16 = _cap_words16(plans, L)
     image_tables = _use_image_tables(cfg)
-    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
-    valid = jnp.asarray(tbl._VALID)
-    vrows = jnp.asarray(_VALID_POS[:, 0])
-    vcols = jnp.asarray(_VALID_POS[:, 1])
+    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant))
 
     def encode_plane(x):
-        rawv, rawl, syms, tids, acts, _diag = _plane_sections(cfg, plans, L, x)
-        if image_tables:
-            idx = (
-                tids * tbl.ALPHABET + jnp.clip(syms, 0, tbl.ALPHABET - 1)
-            ).ravel()
-            hist = jnp.zeros((tbl.N_TABLES * tbl.ALPHABET,), jnp.int32)
-            hist = hist.at[idx].add(
-                acts.ravel().astype(jnp.int32), mode="drop"
-            ).reshape(tbl.N_TABLES, tbl.ALPHABET)
-            freq = rans.device_normalize(hist, valid)
-            enc_tables = {
-                "freq": freq.astype(jnp.uint32),
-                "start": (jnp.cumsum(freq, axis=1) - freq).astype(jnp.uint32),
-            }
-            tsec_vals = freq[vrows, vcols]
-            tsec_lens = jnp.full((_N_VALID,), 12, jnp.int32)
-            rawv = jnp.concatenate([tsec_vals, rawv])
-            rawl = jnp.concatenate([tsec_lens, rawl])
-        else:
-            enc_tables = rtables
-        wordsA, totalA = bitpack.pack(rawv, rawl, capA)
-        states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
-        # stream B: [states 32b x L][per-lane word counts 16b x L]
-        #           [words 16b, lane-major] — lane-major order makes the
-        # decoder's renorm read a per-lane counter (no cross-lane prefix
-        # sums inside the decode scan)
-        counts = jnp.sum(emit, axis=0).astype(jnp.uint32)
-        bv = jnp.concatenate(
-            [states.astype(jnp.uint32), counts, words16.T.ravel()]
-        )
-        bl = jnp.concatenate(
-            [
-                jnp.full((L,), 32, jnp.int32),
-                jnp.full((L,), 16, jnp.int32),
-                16 * emit.T.ravel().astype(jnp.int32),
-            ]
-        )
-        wordsB, totalB = bitpack.pack(bv, bl, capB, aligned16=True)
-        return wordsA, totalA, wordsB, totalB
+        payload = _plane_payload(cfg, plans, x)
+        return _payload_to_streams(
+            plans, L, capA, cap16, image_tables, static_tables, payload)
 
     return jax.jit(encode_plane)
 
 
 def build_plane_stats(cfg: CodecConfig, chroma: bool):
-    """Histogram pass for table fitting: (N_TABLES, ALPHABET) symbol counts
-    plus the raw-section bit count."""
+    """Histogram pass for table fitting: (N_TABLES, ALPHABET) model-symbol
+    counts plus the raw (uniform-slot) bit count."""
     plans, dims = make_plane_plans(cfg, chroma)
-    L = _lanes(cfg)
 
     def plane_stats(x):
-        rawv, rawl, syms, tids, acts, diag = _plane_sections(cfg, plans, L, x)
-        idx = (tids * tbl.ALPHABET + jnp.clip(syms, 0, tbl.ALPHABET - 1)).ravel()
-        hist = jnp.zeros((tbl.N_TABLES * tbl.ALPHABET,), jnp.int32)
-        hist = hist.at[idx].add(acts.ravel().astype(jnp.int32), mode="drop")
-        return hist.reshape(tbl.N_TABLES, tbl.ALPHABET), jnp.sum(rawl), diag
+        payload = _plane_payload(cfg, plans, x)
+        hist = _hist_from_payload(payload)
+        rawbits = jnp.int32(0)
+        pat_bits = jnp.int32(0)
+        ref_bits = jnp.int32(0)
+        for pay in payload:
+            sig = pay["sig"].astype(jnp.int32)
+            pb = jnp.sum(sig * (pay["pat_wa"] + pay["pat_wb"]))
+            rb = jnp.sum(pay["flen"])
+            pat_bits += pb
+            ref_bits += rb
+            rawbits += pb + rb
+        diag = {"pattern_bits": pat_bits, "refine_bits": ref_bits}
+        return hist, rawbits, diag
 
     return jax.jit(plane_stats)
 
@@ -397,131 +509,180 @@ def build_plane_stats(cfg: CodecConfig, chroma: bool):
 # --------------------------------------------------------------------------
 
 
-def _read_raw(wordsA, base, lens):
-    offs, total = bitpack.excl_cumsum(lens.ravel())
-    out = bitpack.unpack(wordsA, base + offs, lens.ravel())
-    return out.astype(jnp.int32).reshape(lens.shape), base + total
+def _from_grid2(g, grid):
+    n = grid[0] * grid[1]
+    return g.reshape(-1)[:n].reshape(grid)
 
 
-def _rans_read(rtables, states, stream16, lane_pos, syms_shape, tid, act, L):
-    """Decode one section grid; returns flat symbols clipped to n slots."""
-    n = int(np.prod(syms_shape))
-    tg = rans.to_grid(tid.ravel(), L)
-    ag = rans.to_grid(act.ravel(), L, fill=False)
-    syms, states, lane_pos = rans.decode_section(
-        rtables, states, stream16, lane_pos, tg, ag
-    )
-    return rans.from_grid(syms, n).reshape(syms_shape), states, lane_pos
+def _decode_bands(plans, L, tables, states, stream, nlev,
+                  reader=None):
+    """Decode all band coefficient arrays from the word stream.
 
-
-class RansReader:
-    """Model-symbol reader over the interleaved-rANS substream (the fast
-    jit path). ArchivalReader in this module is the drop-in serial-coder
-    equivalent."""
-
-    def __init__(self, rtables, statesB, lane_base, stream16, L):
-        self.rtables, self.L = rtables, L
-        self.stream16 = stream16
-        self.states, self.pos = statesB, lane_base
-
-    def read(self, shape, tid, act):
-        syms, self.states, self.pos = _rans_read(
-            self.rtables, self.states, self.stream16, self.pos, shape,
-            tid, act, self.L,
-        )
-        return syms
-
-
-def _decode_sections(plans, L, reader, nlev, wordsA, baseA0: int = 0,
-                     merge_mags: bool = False):
-    """Mirror of _sections_from_pyramid: decode all band coefficient arrays
-    from the raw substream + a model-symbol reader. Returns
-    {band name: dequantized coeffs}."""
+    When `reader` is None this builds the jit scan graph over (states,
+    stream); otherwise symbols come from the ArchivalReader (host serial
+    coder) and the same per-band math runs eagerly with no stream.
+    Returns {band name: dequantized coeffs}."""
     plan_by_name = {p.name: p for p in plans}
-    if True:
-        baseA = jnp.int32(baseA0)
-        coeffs, sig_maps, u2d_pad = {}, {}, {}
+    coeffs, sig_maps, u2d_pad = {}, {}, {}
+    x = states
+    # anchor gpos to a data-dependent value so its sharding "varying" type
+    # matches the scan carries under shard_map
+    gpos = (
+        (states[0] * jnp.uint32(0)).astype(jnp.int32)
+        if states is not None else None
+    )
 
-        for p in plans:
-            grid = p.grid
-            nblk = grid[0] * grid[1]
-            # context
-            if p.kind == "ll" or p.level == nlev - 1:
-                ctx = jnp.full(grid, 15, jnp.int32)
-            else:
-                par = plan_by_name[f"{p.orient}{p.level+1}"]
-                ctx = blocks.parent_ctx(u2d_pad[par.name], grid)
-            # z section
-            if p.kind == "ll":
-                s_mask = jnp.ones(grid, bool)
-            else:
-                if p.level == nlev - 1:
-                    a = jnp.ones(grid, bool)
-                else:
-                    a = blocks.upsample_sig(
-                        sig_maps[f"{p.orient}{p.level+1}"], grid
-                    )
-                z = reader.read(grid, tbl.Z_BASE + ctx, a)
-                s_mask = a & (z == 0)
-                sig_maps[p.name] = s_mask
-            # k section
-            if p.kind == "high":
-                kraw = reader.read(grid, tbl.KH_BASE + ctx, s_mask)
-                k = jnp.where(s_mask, kraw + 1, 0)
-            else:
-                k = reader.read(grid, tbl.KL_BASE + ctx, s_mask)
-                k = jnp.where(s_mask, k, 0)
-            # pattern
-            pl = jnp.asarray(enumcode.CNK_L, jnp.int32)[k]
-            pth = jnp.asarray(enumcode.CNK_TH, jnp.int32)[k]
-            sm = s_mask.astype(jnp.int32)
-            phi, baseA = _read_raw(wordsA, baseA, sm * pl)
-            pex_mask = s_mask & (phi >= pth)
-            pex, baseA = _read_raw(wordsA, baseA, pex_mask.astype(jnp.int32))
-            rank = jnp.where(s_mask, enumcode.phase_in_decode(phi, pex, pth), 0)
-            pattern = enumcode.pattern_unrank(rank, k)
-            lane = jnp.arange(16, dtype=jnp.int32)
-            active = s_mask[..., None] & (
-                ((pattern[..., None] >> (15 - lane)) & 1) == 1
-            )
-            # s section
-            sctx = jnp.clip(k - 1, 0, 15)
-            s = reader.read(
-                grid + (16,),
-                (tbl.S_BASE + sctx)[..., None]
-                * jnp.ones((1, 1, 16), jnp.int32),
-                active,
-            )
-            # refinement + sign
-            flen = jnp.where(active, jnp.maximum(s, 1), 0)
-            if merge_mags:
-                l2 = flen.reshape(flen.shape[:-1] + (8, 2))
-                ml = l2[..., 0] + l2[..., 1]
-                merged, baseA = _read_raw(wordsA, baseA, ml)
-                merged = merged.astype(jnp.uint32)
-                m0 = bitpack.field_mask(l2[..., 0])
-                f0 = merged & m0
-                f1 = (merged >> l2[..., 0]) & bitpack.field_mask(l2[..., 1])
-                field = jnp.stack([f0, f1], axis=-1).reshape(flen.shape)
-                field = field.astype(jnp.int32)
-            else:
-                field, baseA = _read_raw(wordsA, baseA, flen)
-            sign = field & 1
-            mag1 = jnp.where(
-                s > 0,
-                (jnp.int32(1) << jnp.maximum(s - 1, 0)) | (field >> 1),
-                0,
-            )
-            u = jnp.where(active, ((mag1 + 1) << 1) | sign, 0)
-            u2d_pad[p.name] = blocks.from_blocks(u, grid[0] * 4, grid[1] * 4)
-            x = u2s_(u)
-            if p.kind == "ll":
-                res = blocks.from_blocks(x, *p.shape)
-                coeffs["L"] = qops.tsuq_inverse(_cumsum2d(res), p.q)
-            else:
-                if p.q > 1:
-                    x = x * p.q
-                coeffs[p.name] = blocks.from_blocks(x, *p.shape)
+    for p in plans:
+        grid = p.grid
+        n = grid[0] * grid[1]
+        T_blk = -(-n // L)
+        T_cf = -(-(n * 16) // L)
+        if p.kind == "ll" or p.level == nlev - 1:
+            ctx = jnp.full(grid, 15, jnp.int32)
+        else:
+            par = plan_by_name[f"{p.orient}{p.level+1}"]
+            ctx = blocks.parent_ctx(u2d_pad[par.name], grid)
+        if p.kind == "ll":
+            a = jnp.ones(grid, bool)
+        elif p.level == nlev - 1:
+            a = jnp.ones(grid, bool)
+        else:
+            a = blocks.upsample_sig(sig_maps[f"{p.orient}{p.level+1}"], grid)
+
+        is_ll = p.kind == "ll"
+        is_high = p.kind == "high"
+        kbase = tbl.KH_BASE if is_high else tbl.KL_BASE
+
+        ctx_g = rans.to_grid(ctx.ravel(), L)
+        alive_g = rans.to_grid(a.ravel(), L, fill=False)
+
+        if reader is None:
+            def zk_body(carry, inp, is_ll=is_ll, kbase=kbase,
+                        is_high=is_high):
+                x, gpos = carry
+                ctx_r, alive_r = inp
+                z_act = alive_r & (not is_ll)
+                z, xn = rans.model_transition(
+                    tables, x, tbl.Z_BASE + ctx_r, z_act)
+                x, gpos = rans.renorm(xn, z_act, stream, gpos)
+                sig_r = alive_r & (z == 0)
+                kraw, xn = rans.model_transition(
+                    tables, x, kbase + ctx_r, sig_r)
+                x, gpos = rans.renorm(xn, sig_r, stream, gpos)
+                k = jnp.where(sig_r, kraw + (1 if is_high else 0), 0)
+                return (x, gpos), (sig_r, k)
+
+            (x, gpos), (sig_g, k_g) = jax.lax.scan(
+                zk_body, (x, gpos), (ctx_g, alive_g))
+        else:
+            z = reader.read_model(alive_g.shape, tbl.Z_BASE + ctx_g,
+                                  alive_g & (not is_ll))
+            sig_g = alive_g & (z == 0)
+            kraw = reader.read_model(sig_g.shape, kbase + ctx_g, sig_g)
+            k_g = jnp.where(sig_g, kraw + (1 if is_high else 0), 0)
+
+        sig = _from_grid2(sig_g, grid)
+        k2d = _from_grid2(k_g, grid)
+        sig_maps[p.name] = sig
+
+        # PAT: widths derivable from k
+        pl_g = _sel17(enumcode.CNK_L, k_g)
+        wa_g = jnp.where(sig_g, pl_g - jnp.maximum(pl_g - 12, 0), 0)
+
+        if reader is None:
+            def pat_body(carry, inp):
+                x, gpos = carry
+                k_r, sig_r, wa_r = inp
+                va, xn = rans.uniform_transition(x, wa_r, sig_r)
+                x, gpos = rans.renorm(xn, sig_r & (wa_r > 0), stream, gpos)
+                r, plong, th = _pat_widths_b(va, k_r)
+                wb = jnp.where(sig_r, r + plong, 0)
+                vb, xn = rans.uniform_transition(x, wb, sig_r)
+                x, gpos = rans.renorm(xn, sig_r & (wb > 0), stream, gpos)
+                rank = jnp.where(sig_r, _pat_join(va, vb, r, plong, th), 0)
+                return (x, gpos), rank
+
+            (x, gpos), rank_g = jax.lax.scan(
+                pat_body, (x, gpos), (k_g, sig_g, wa_g))
+        else:
+            va = reader.read_raw(wa_g.shape, wa_g, sig_g)
+            r, plong, th = _pat_widths_b(va, k_g)
+            wb = jnp.where(sig_g, r + plong, 0)
+            vb = reader.read_raw(wb.shape, wb, sig_g)
+            rank_g = jnp.where(sig_g, _pat_join(va, vb, r, plong, th), 0)
+
+        rank = _from_grid2(rank_g, grid)
+        pattern = enumcode.pattern_unrank(rank, k2d)
+        lane = jnp.arange(16, dtype=jnp.int32)
+        active = sig[..., None] & (
+            ((pattern[..., None] >> (15 - lane)) & 1) == 1
+        )
+
+        # SREF
+        sctx = jnp.clip(k2d - 1, 0, 15)
+        sctx_cf = sctx[..., None] * jnp.ones((1, 1, 16), jnp.int32)
+        act_g = rans.to_grid(active.ravel(), L, fill=False)
+        sctx_g = rans.to_grid(sctx_cf.ravel(), L)
+        phases = _ref_phases(p)
+
+        if reader is None:
+            def sref_body(carry, inp, phases=phases):
+                x, gpos = carry
+                sctx_r, act_r = inp
+                s, xn = rans.model_transition(
+                    tables, x, tbl.S_BASE + sctx_r, act_r)
+                x, gpos = rans.renorm(xn, act_r, stream, gpos)
+                flen = jnp.where(act_r, jnp.maximum(s, 1), 0)
+                # widths top-first, matching the encoder's _ref_split order
+                rem = flen
+                widths = []
+                for _ in range(phases):
+                    below = jnp.maximum(rem - 12, 0)
+                    widths.append(rem - below)
+                    rem = below
+                vals = []
+                for w in widths:
+                    v, xn = rans.uniform_transition(x, w, act_r)
+                    x, gpos = rans.renorm(xn, act_r & (w > 0), stream, gpos)
+                    vals.append((v, w))
+                field = _ref_join(vals)
+                return (x, gpos), (s, field)
+
+            (x, gpos), (s_g, field_g) = jax.lax.scan(
+                sref_body, (x, gpos), (sctx_g, act_g))
+        else:
+            s_g = reader.read_model(act_g.shape, tbl.S_BASE + sctx_g, act_g)
+            flen = jnp.where(act_g, jnp.maximum(s_g, 1), 0)
+            vals = []
+            rem = flen
+            for _ in range(phases):
+                below = jnp.maximum(rem - 12, 0)
+                w = rem - below
+                v = reader.read_raw(w.shape, w, act_g)
+                vals.append((v, w))
+                rem = below
+            field_g = _ref_join(vals)
+
+        ncf = n * 16
+        s = s_g.reshape(-1)[:ncf].reshape(grid + (16,))
+        field = field_g.reshape(-1)[:ncf].reshape(grid + (16,))
+
+        sign = field & 1
+        mag1 = jnp.where(
+            s > 0,
+            (jnp.int32(1) << jnp.maximum(s - 1, 0)) | (field >> 1),
+            0,
+        )
+        u = jnp.where(active, ((mag1 + 1) << 1) | sign, 0)
+        u2d_pad[p.name] = blocks.from_blocks(u, grid[0] * 4, grid[1] * 4)
+        xq = u2s_(u)
+        if p.kind == "ll":
+            res = blocks.from_blocks(xq, *p.shape)
+            coeffs["L"] = qops.tsuq_inverse(_cumsum2d(res), p.q)
+        else:
+            if p.q > 1:
+                xq = xq * p.q
+            coeffs[p.name] = blocks.from_blocks(xq, *p.shape)
 
     return coeffs
 
@@ -536,34 +697,34 @@ def _pyramid_from_coeffs(coeffs, nlev):
     return pyr
 
 
+def _streams_to_coeffs(plans, L, nlev, image_tables, static_tables,
+                       wordsA, states, stream16):
+    """Shared decoder head: parsed stream arrays -> band coefficients."""
+    if image_tables:
+        offs = jnp.arange(_N_VALID, dtype=jnp.int32) * 12
+        lens = jnp.full((_N_VALID,), 12, jnp.int32)
+        fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
+        freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
+        freq = freq.at[jnp.asarray(_VALID_POS[:, 0]),
+                       jnp.asarray(_VALID_POS[:, 1])].set(fvals)
+        dtables = rans.enc_dec_tables(freq)
+    else:
+        dtables = static_tables
+    return _decode_bands(plans, L, dtables, states, stream16, nlev)
+
+
 def build_decode_plane(cfg: CodecConfig, chroma: bool):
     plans, dims = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
     transform = Transform(cfg.transform)
     nlev = len(dims)
     image_tables = _use_image_tables(cfg)
-    rtables = tbl.get_tables(tbl.rate_bucket(cfg.quant))
-    vrows = jnp.asarray(_VALID_POS[:, 0])
-    vcols = jnp.asarray(_VALID_POS[:, 1])
+    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant))
 
-    def decode_plane(wordsA, statesB, lane_base, stream16):
-        if image_tables:
-            offs = jnp.arange(_N_VALID, dtype=jnp.int32) * 12
-            lens = jnp.full((_N_VALID,), 12, jnp.int32)
-            fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
-            freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
-            freq = freq.at[vrows, vcols].set(fvals)
-            dtables = rans.device_build_tables(freq)
-            reader = RansReader(dtables, statesB, lane_base, stream16, L)
-            coeffs = _decode_sections(
-                plans, L, reader, nlev, wordsA,
-                baseA0=_TABLE_SECTION_BITS, merge_mags=_merge_mags(cfg),
-            )
-        else:
-            reader = RansReader(rtables, statesB, lane_base, stream16, L)
-            coeffs = _decode_sections(
-                plans, L, reader, nlev, wordsA, merge_mags=_merge_mags(cfg)
-            )
+    def decode_plane(wordsA, states, stream16):
+        coeffs = _streams_to_coeffs(
+            plans, L, nlev, image_tables, static_tables,
+            wordsA, states, stream16)
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 
@@ -571,8 +732,8 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
 
 
 # --------------------------------------------------------------------------
-# Archival profile: model symbols through the native serial ADAPTIVE range
-# coder (max compression; C++ host backend) instead of interleaved rANS.
+# Archival profile: the same section structure through the native serial
+# ADAPTIVE range coder (max compression; C++ host backend).
 # --------------------------------------------------------------------------
 
 
@@ -584,45 +745,75 @@ def _archival_seed(cfg: CodecConfig) -> np.ndarray:
 
 @functools.lru_cache(maxsize=16)
 def _cached_archival_front(cfg: CodecConfig, chroma: bool):
-    """jit: x -> (wordsA, totalA, syms, tids, acts); no rANS table section."""
+    """jit: x -> flat per-band payload tensors for host-serial coding."""
     plans, _ = make_plane_plans(cfg, chroma)
-    L = _lanes(cfg)
-    capA = _cap_words_raw(plans)
 
     def front(x):
-        rawv, rawl, syms, tids, acts, _d = _plane_sections(cfg, plans, L, x)
-        wordsA, totalA = bitpack.pack(rawv, rawl, capA)
-        return wordsA, totalA, syms, tids, acts
+        payload = _plane_payload(cfg, plans, x)
+        out = []
+        for pay in payload:
+            p = pay["plan"]
+            sctx = (pay["sctx"][..., None]
+                    * jnp.ones((1, 1, 16), jnp.int32))
+            parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
+                               _ref_phases(p))
+            out.append((
+                pay["z"].ravel(), pay["ctx"].ravel(), pay["z_act"].ravel(),
+                pay["k"].ravel(), pay["sig"].ravel(),
+                pay["pat_va"].ravel(), pay["pat_wa"].ravel(),
+                pay["pat_vb"].ravel(), pay["pat_wb"].ravel(),
+                pay["s"].ravel(), sctx.ravel(), pay["active"].ravel(),
+                tuple(parts),
+            ))
+        return out
 
     return jax.jit(front)
 
 
 def encode_plane_archival(x, cfg: CodecConfig, chroma: bool):
-    """Returns (streamA, streamB) with B = serial range-coded symbols."""
+    """Returns (streamA, streamB): A empty, B = serial range-coded plane."""
     from ric_tpu.utils import native
 
-    wordsA, totalA, syms, tids, acts = _cached_archival_front(cfg, chroma)(
-        jnp.asarray(x, jnp.int32)
-    )
+    plans, _ = make_plane_plans(cfg, chroma)
+    bands = _cached_archival_front(cfg, chroma)(jnp.asarray(x, jnp.int32))
     enc = native.SerialEncoder(_archival_seed(cfg))
-    enc.put(np.asarray(syms), np.asarray(tids), np.asarray(acts))
-    return words_to_bytes(wordsA, int(totalA)), enc.finish()
+    for pay, p in zip(bands, plans):
+        (z, ctx, z_act, k, sig, pva, pwa, pvb, pwb, s, sctx, act,
+         parts) = pay
+        is_high = p.kind == "high"
+        kbase = tbl.KH_BASE if is_high else tbl.KL_BASE
+        enc.put(np.asarray(z), tbl.Z_BASE + np.asarray(ctx), np.asarray(z_act))
+        ksym = np.asarray(k) - (1 if is_high else 0)
+        enc.put(np.clip(ksym, 0, 31), kbase + np.asarray(ctx), np.asarray(sig))
+        enc.put_raw(np.asarray(pva), np.asarray(pwa), np.asarray(sig))
+        enc.put_raw(np.asarray(pvb), np.asarray(pwb), np.asarray(sig))
+        enc.put(np.asarray(s), tbl.S_BASE + np.asarray(sctx), np.asarray(act))
+        for v, w in parts:
+            enc.put_raw(np.asarray(v), np.asarray(w), np.asarray(act))
+    return b"", enc.finish()
 
 
 class ArchivalReader:
-    """Serial-decoder-backed symbol reader (mirror of RansReader). Sections
-    round-trip through the host; the surrounding jnp ops run eagerly."""
+    """Serial-decoder-backed symbol reader (mirrors the jit scan flow)."""
 
     def __init__(self, cfg: CodecConfig, streamB: bytes):
         from ric_tpu.utils import native
 
         self.dec = native.SerialDecoder(_archival_seed(cfg), streamB)
 
-    def read(self, shape, tid, act):
-        tid_b, _ = jnp.broadcast_arrays(tid, jnp.zeros(shape, jnp.int32))
+    def read_model(self, shape, tid, act):
+        tid_b = jnp.broadcast_to(tid, shape)
         act_b = jnp.broadcast_to(act, shape)
         out = self.dec.get(
             np.asarray(tid_b).ravel(), np.asarray(act_b).ravel()
+        )
+        return jnp.asarray(out.reshape(shape), jnp.int32)
+
+    def read_raw(self, shape, widths, act):
+        w_b = jnp.broadcast_to(widths, shape)
+        act_b = jnp.broadcast_to(act, shape)
+        out = self.dec.get_raw(
+            np.asarray(w_b).ravel(), np.asarray(act_b).ravel()
         )
         return jnp.asarray(out.reshape(shape), jnp.int32)
 
@@ -632,12 +823,8 @@ def decode_plane_archival(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     plans, dims = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
     nlev = len(dims)
-    capA = _cap_words_raw(plans)
-    wordsA = jnp.asarray(bytes_to_words(streamA, capA))
     reader = ArchivalReader(cfg, streamB)
-    coeffs = _decode_sections(
-        plans, L, reader, nlev, wordsA, merge_mags=_merge_mags(cfg)
-    )
+    coeffs = _decode_bands(plans, L, None, None, None, nlev, reader=reader)
     reader.dec.close()
     pyr = _pyramid_from_coeffs(coeffs, nlev)
     out = lifting.idwt(pyr, cfg.width, cfg.height, Transform(cfg.transform))
@@ -717,16 +904,16 @@ def encode_plane_bytes(x, cfg: CodecConfig, chroma: bool):
 def _to_device_padded(buf: np.ndarray, cap: int):
     """Ship only the real payload to the device; zero-pad to the static cap
     there. Transfer sizes are bucketed (256K words) so eager-op shapes stay
-    cacheable. The padded capacity buffers are ~10x the payload — shipping
-    them dominated end-to-end decode time over the device link."""
+    cacheable."""
     n = min(len(buf), cap)
     bucket = -(-max(n, 1) // (1 << 18)) * (1 << 18)
     bucket = min(bucket, cap)
-    host = np.zeros(bucket, np.uint32)
+    host = np.zeros(bucket, buf.dtype)
     host[:n] = buf[:n]
     dev = jnp.asarray(host)
     if bucket < cap:
-        dev = jnp.concatenate([dev, jnp.zeros(cap - bucket, jnp.uint32)])
+        dev = jnp.concatenate(
+            [dev, jnp.zeros(cap - bucket, buf.dtype)])
     return dev
 
 
@@ -735,20 +922,21 @@ def decode_plane_bytes(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     dec = _cached_decoder(cfg, chroma)
     plans, _ = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
-    capA = _cap_words_raw(plans) + _TABLE_SECTION_BITS // 32 + 1
+    capA = _cap_words_a(cfg)
     pad = (-len(streamA)) % 4
     bufA = np.frombuffer(streamA + b"\x00" * pad, dtype="<u4")
+    wordsA = np.zeros(capA, np.uint32)
+    wordsA[: min(len(bufA), capA)] = bufA[:capA]
+    b32 = np.frombuffer(
+        streamB[: 4 * L] + b"\x00" * max(4 * L - len(streamB), 0), "<u4")
+    states = b32[:L].astype(np.uint32)
     padB = (-len(streamB)) % 2
-    b16 = np.frombuffer(streamB + b"\x00" * padB, dtype="<u2").astype(np.uint32)
-    states = (b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)).astype(np.uint32)
-    counts = b16[2 * L : 3 * L].astype(np.int32)
-    lane_base = (np.cumsum(counts) - counts).astype(np.int32)
-    capB16 = _cap_words_rans(plans, L) * 2
+    w16 = np.frombuffer(streamB[4 * L:] + b"\x00" * padB, "<u2")
+    cap16 = _cap_words16(plans, L) + L + 8
     out = dec(
-        _to_device_padded(bufA, capA),
+        jnp.asarray(wordsA),
         jnp.asarray(states),
-        jnp.asarray(lane_base),
-        _to_device_padded(b16[3 * L :], capB16),
+        _to_device_padded(w16.astype(np.uint32), cap16),
     )
     return np.asarray(out)
 
@@ -761,10 +949,9 @@ def _cached_batch_encoder(cfg: CodecConfig, chroma: bool):
 def encode_batch(imgs: np.ndarray, cfg: CodecConfig, mesh=None) -> list[bytes]:
     """Data-parallel batch encode of (B, H, W) grayscale planes.
 
-    With a mesh, the batch axis is sharded over its 'dp' axis (the Kodak-24
-    corpus configuration of BASELINE.json); without one, the batch is
-    vmapped on a single device. Returns one RTP1 container per image.
-    """
+    With a mesh, the batch axis is sharded over its 'dp' axis; without one,
+    the batch is vmapped on a single device. Returns one RTP1 container per
+    image."""
     imgs = jnp.asarray(imgs, jnp.int32)
     mid = 1 << (cfg.input_depth - 1)
     # same depth logic as encode_image: 16-bit input already exceeds the
@@ -795,8 +982,6 @@ def encode_image(img: np.ndarray, cfg: CodecConfig,
 
     profile: "rans" (parallel, default) or "archival" (serial adaptive
     range coder via the native backend — max compression)."""
-    # upload at native width (uint8/uint16), widen on device: the host
-    # link is often the bottleneck
     img = jnp.asarray(img).astype(jnp.int32)
     enc = (
         encode_plane_archival if profile == "archival" else encode_plane_bytes

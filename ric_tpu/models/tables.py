@@ -105,3 +105,12 @@ def get_tables(bucket: int = 0):
         N_TABLES, ALPHABET
     )
     return rans.build_tables(freqs)
+
+
+@functools.lru_cache(maxsize=N_BUCKETS)
+def get_dense_tables(bucket: int = 0):
+    """v2-engine dense (cum, comb) f32 rows for the gather-free scans."""
+    freqs = np.frombuffer(get_freqs(bucket), np.int32).reshape(
+        N_TABLES, ALPHABET
+    )
+    return rans.enc_dec_tables(freqs)

@@ -205,6 +205,30 @@ void rc_dec_symbols(void* vh, const int32_t* tids, const uint8_t* act,
 
 void rc_dec_free(void* vh) { delete (DecHandle*)vh; }
 
+// Raw `width`-bit fields through the same range coder (uniform model:
+// cum=value, freq=1, total=1<<width). Widths are <= 12 bits (the entropy
+// layer splits wider fields), so total stays far below range/kTop.
+void rc_enc_raw(void* vh, const int32_t* vals, const int32_t* widths,
+                const uint8_t* act, long n) {
+    auto* h = (EncHandle*)vh;
+    for (long i = 0; i < n; i++) {
+        if (!act[i] || widths[i] <= 0) continue;
+        h->rc.encode((uint32_t)vals[i], 1u, 1u << widths[i]);
+    }
+}
+
+void rc_dec_raw(void* vh, const int32_t* widths, const uint8_t* act, long n,
+                int32_t* out_vals) {
+    auto* h = (DecHandle*)vh;
+    for (long i = 0; i < n; i++) {
+        if (!act[i] || widths[i] <= 0) { out_vals[i] = 0; continue; }
+        uint32_t r;
+        uint32_t v = h->rc.decode_cum(1u << widths[i], &r);
+        h->rc.decode_update(r, v, 1u);
+        out_vals[i] = (int32_t)v;
+    }
+}
+
 // ---------------------------------------------------------------------
 // CRC32 (zlib polynomial) for container integrity checks
 // ---------------------------------------------------------------------

@@ -139,7 +139,7 @@ def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int):
         plans.append(
             image_codec.BandPlan(
                 p.name, p.orient, p.level, p.kind, shape,
-                image_codec._grid(shape), p.q, p.rd,
+                image_codec._grid(shape), p.q, p.rd, p.wmax,
             )
         )
     return plans, dims
@@ -158,59 +158,21 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
     plans, dims = make_tile_plans(cfg, False, sp)
     tcfg = _tile_cfg(cfg, sp)
     L = image_codec._lanes(tcfg)
-    capA = image_codec._cap_words_raw(plans) + (
-        image_codec._TABLE_SECTION_BITS // 32 + 1
-    )
-    capB = image_codec._cap_words_rans(plans, L)
+    capA = image_codec._cap_words_a(tcfg)
+    cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(tcfg)
-    rtables = tbl_mod.get_tables(tbl_mod.rate_bucket(cfg.quant))
-    valid = jnp.asarray(tbl_mod._VALID)
-    vrows = jnp.asarray(image_codec._VALID_POS[:, 0])
-    vcols = jnp.asarray(image_codec._VALID_POS[:, 1])
+    static_tables = tbl_mod.get_dense_tables(tbl_mod.rate_bucket(cfg.quant))
     from ric_tpu.parallel import halo_dwt
-    from ric_tpu.ops import bitpack, rans
     from ric_tpu.config import Transform
 
     def local(xt):
         pyr = halo_dwt.dwt_tiled(
             xt, Transform(cfg.transform), cfg.levels, cfg.width, "sp"
         )
-        rawv, rawl, syms, tids, acts, _d = image_codec._sections_from_pyramid(
-            plans, L, pyr, merge_mags=image_codec._merge_mags(cfg)
-        )
-        if image_tables:
-            idx = (
-                tids * tbl_mod.ALPHABET
-                + jnp.clip(syms, 0, tbl_mod.ALPHABET - 1)
-            ).ravel()
-            hist = jnp.zeros((tbl_mod.N_TABLES * tbl_mod.ALPHABET,), jnp.int32)
-            hist = hist.at[idx].add(
-                acts.ravel().astype(jnp.int32), mode="drop"
-            ).reshape(tbl_mod.N_TABLES, tbl_mod.ALPHABET)
-            freq = rans.device_normalize(hist, valid)
-            enc_tables = {
-                "freq": freq.astype(jnp.uint32),
-                "start": (jnp.cumsum(freq, axis=1) - freq).astype(jnp.uint32),
-            }
-            tsec = freq[vrows, vcols]
-            rawv = jnp.concatenate([tsec, rawv])
-            rawl = jnp.concatenate(
-                [jnp.full((image_codec._N_VALID,), 12, jnp.int32), rawl]
-            )
-        else:
-            enc_tables = rtables
-        wordsA, tA = bitpack.pack(rawv, rawl, capA)
-        states, emit, words16 = rans.encode(enc_tables, syms, tids, acts)
-        counts = jnp.sum(emit, axis=0).astype(jnp.uint32)
-        bv = jnp.concatenate(
-            [states.astype(jnp.uint32), counts, words16.T.ravel()]
-        )
-        bl = jnp.concatenate(
-            [jnp.full((L,), 32, jnp.int32), jnp.full((L,), 16, jnp.int32),
-             16 * emit.T.ravel().astype(jnp.int32)]
-        )
-        wordsB, tB = bitpack.pack(bv, bl, capB, aligned16=True)
-        return wordsA[None], tA[None], wordsB[None], tB[None]
+        payload = image_codec._payload_from_pyramid(plans, pyr)
+        wA, tA, wB, tB = image_codec._payload_to_streams(
+            plans, L, capA, cap16, image_tables, static_tables, payload)
+        return wA[None], tA[None], wB[None], tB[None]
 
     fn = shard_map(
         local, mesh=mesh, in_specs=(P(None, "sp"),),
@@ -239,40 +201,15 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
     L = image_codec._lanes(tcfg)
     nlev = len(dims)
     image_tables = image_codec._use_image_tables(tcfg)
-    rtables = tbl_mod.get_tables(tbl_mod.rate_bucket(cfg.quant))
-    vrows = jnp.asarray(image_codec._VALID_POS[:, 0])
-    vcols = jnp.asarray(image_codec._VALID_POS[:, 1])
+    static_tables = tbl_mod.get_dense_tables(tbl_mod.rate_bucket(cfg.quant))
     from ric_tpu.parallel import halo_dwt
-    from ric_tpu.ops import bitpack, rans
     from ric_tpu.config import Transform
 
-    def local(wordsA, statesB, lane_base, stream16):
-        wordsA, statesB, lane_base, stream16 = (
-            wordsA[0], statesB[0], lane_base[0], stream16[0]
-        )
-        if image_tables:
-            offs = jnp.arange(image_codec._N_VALID, dtype=jnp.int32) * 12
-            lens = jnp.full((image_codec._N_VALID,), 12, jnp.int32)
-            fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
-            freq = jnp.zeros((tbl_mod.N_TABLES, tbl_mod.ALPHABET), jnp.int32)
-            freq = freq.at[vrows, vcols].set(fvals)
-            dtables = rans.device_build_tables(freq)
-            reader = image_codec.RansReader(
-                dtables, statesB, lane_base, stream16, L
-            )
-            coeffs = image_codec._decode_sections(
-                plans, L, reader, nlev, wordsA,
-                baseA0=image_codec._TABLE_SECTION_BITS,
-                merge_mags=image_codec._merge_mags(cfg),
-            )
-        else:
-            reader = image_codec.RansReader(
-                rtables, statesB, lane_base, stream16, L
-            )
-            coeffs = image_codec._decode_sections(
-                plans, L, reader, nlev, wordsA,
-                merge_mags=image_codec._merge_mags(cfg),
-            )
+    def local(wordsA, statesB, stream16):
+        wordsA, statesB, stream16 = wordsA[0], statesB[0], stream16[0]
+        coeffs = image_codec._streams_to_coeffs(
+            plans, L, nlev, image_tables, static_tables,
+            wordsA, statesB, stream16)
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
             pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp"
@@ -280,8 +217,7 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
 
     fn = shard_map(
         local, mesh=mesh,
-        in_specs=(P("sp", None), P("sp", None), P("sp", None),
-                  P("sp", None)),
+        in_specs=(P("sp", None), P("sp", None), P("sp", None)),
         out_specs=P(None, "sp"),
     )
     return jax.jit(fn)
@@ -292,27 +228,21 @@ def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
     plans, _ = make_tile_plans(cfg, False, sp)
     tcfg = _tile_cfg(cfg, sp)
     L = image_codec._lanes(tcfg)
-    capA = image_codec._cap_words_raw(plans) + (
-        image_codec._TABLE_SECTION_BITS // 32 + 1
-    )
-    capB16 = image_codec._cap_words_rans(plans, L) * 2
+    capA = image_codec._cap_words_a(tcfg)
+    cap16 = image_codec._cap_words16(plans, L) + L + 8
     wA = np.zeros((sp, capA), np.uint32)
     states = np.zeros((sp, L), np.uint32)
-    lane_base = np.zeros((sp, L), np.int32)
-    s16 = np.zeros((sp, capB16), np.uint32)
+    s16 = np.zeros((sp, cap16), np.uint32)
     for t in range(sp):
         a, b = streams[2 * t], streams[2 * t + 1]
         bufA = np.frombuffer(a + b"\x00" * ((-len(a)) % 4), dtype="<u4")
-        wA[t, : len(bufA)] = bufA
-        b16 = np.frombuffer(b + b"\x00" * ((-len(b)) % 2), dtype="<u2").astype(
-            np.uint32
-        )
-        states[t] = b16[0 : 2 * L : 2] | (b16[1 : 2 * L : 2] << 16)
-        counts = b16[2 * L : 3 * L].astype(np.int32)
-        lane_base[t] = np.cumsum(counts) - counts
-        body = b16[3 * L :]
+        wA[t, : min(len(bufA), capA)] = bufA[:capA]
+        b32 = np.frombuffer(
+            b[: 4 * L] + b"\x00" * max(4 * L - len(b), 0), "<u4")
+        states[t] = b32[:L]
+        body = np.frombuffer(
+            b[4 * L :] + b"\x00" * ((-(len(b) - 4 * L)) % 2), "<u2")
         s16[t, : len(body)] = body
     fn = build_tiled_decode_global(cfg, mesh)
-    out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(lane_base),
-             jnp.asarray(s16))
+    out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16))
     return np.asarray(out)

@@ -45,6 +45,14 @@ def lib():
         ctypes.c_void_p,
     ]
     l.rc_dec_free.argtypes = [ctypes.c_void_p]
+    l.rc_enc_raw.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_long,
+    ]
+    l.rc_dec_raw.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+        ctypes.c_void_p,
+    ]
     l.ric_crc32.restype = ctypes.c_uint32
     l.ric_crc32.argtypes = [ctypes.c_void_p, ctypes.c_long]
     return l
@@ -70,6 +78,13 @@ class SerialEncoder:
         lib().rc_enc_symbols(self._h, _ptr(syms), _ptr(tids), _ptr(act),
                              len(syms))
 
+    def put_raw(self, vals, widths, active):
+        vals = np.ascontiguousarray(vals, np.int32).ravel()
+        widths = np.ascontiguousarray(widths, np.int32).ravel()
+        act = np.ascontiguousarray(active, np.uint8).ravel()
+        lib().rc_enc_raw(self._h, _ptr(vals), _ptr(widths), _ptr(act),
+                         len(vals))
+
     def finish(self) -> bytes:
         cap = 1 << 26
         out = np.empty(cap, np.uint8)
@@ -93,6 +108,14 @@ class SerialDecoder:
         out = np.empty(len(tids), np.int32)
         lib().rc_dec_symbols(self._h, _ptr(tids), _ptr(act), len(tids),
                              _ptr(out))
+        return out
+
+    def get_raw(self, widths, active) -> np.ndarray:
+        widths = np.ascontiguousarray(widths, np.int32).ravel()
+        act = np.ascontiguousarray(active, np.uint8).ravel()
+        out = np.empty(len(widths), np.int32)
+        lib().rc_dec_raw(self._h, _ptr(widths), _ptr(act), len(widths),
+                         _ptr(out))
         return out
 
     def close(self):
