@@ -1,19 +1,21 @@
-"""Headline benchmark: lossless encode+decode round-trip throughput.
+"""Headline benchmark: every BASELINE.md throughput row, one chip.
 
-Config matches BASELINE.md row 1/2: 4096x4096 grayscale, cdf53, q=0,
-synthetic gradient+noise content, one chip. The reference measured
-24.2 Mpix/s encode and 22.2 Mpix/s decode on its hardware => combined
-round-trip throughput 1/(1/24.2+1/22.2) = 11.58 Mpix/s, which is the
-vs_baseline denominator.
+Rows (4096x4096 grayscale, synthetic gradient+noise content):
+  lossless  cdf53 q=0   (encode 24.2 / decode 22.2 Mpix/s reference)
+  lossy q9  cdf97       (encode 33.9 / decode 37.5)
+  lossy q20 cdf97       (encode 59.0 / decode 54.4)
 
-The timed loop measures the codec with pixels and bitstream resident in
-device HBM (the TPU's RAM — the analogue of the reference keeping its
+Encode and decode are timed separately with pixels and bitstream resident
+in device HBM (the TPU's RAM — the analogue of the reference keeping its
 buffers in host RAM; this environment's host<->device tunnel runs at
 ~15 MB/s and would otherwise measure the tunnel, not the codec). A full
 host-path round trip, including container bytes, is verified for
-bit-exactness before timing.
+bit-exactness (lossless) / PSNR sanity (lossy) before timing.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "rows"}.
+The headline value is the combined lossless round-trip throughput
+1/(1/enc+1/dec) vs the reference's 11.58 Mpix/s; "rows" carries the
+per-config encode/decode numbers and their vs-reference ratios.
 """
 import json
 import sys
@@ -29,11 +31,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import jax.numpy as jnp
 
-from ric_tpu.config import CodecConfig, Transform
+from ric_tpu.config import CodecConfig, Transform, SHIFT
 from ric_tpu.models import image_codec as ic
 
 BASELINE_COMBINED_MPIX_S = 1.0 / (1.0 / 24.2 + 1.0 / 22.2)
 N = 4096
+ROWS = [
+    ("lossless", dict(quant=0, transform=Transform.CDF53), 24.2, 22.2),
+    ("lossy_q9", dict(quant=9, transform=Transform.CDF97), 33.9, 37.5),
+    ("lossy_q20", dict(quant=20, transform=Transform.CDF97), 59.0, 54.4),
+]
 
 
 def synthetic(h, w, seed=7):
@@ -48,16 +55,15 @@ def synthetic(h, w, seed=7):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def build_roundtrip(cfg: CodecConfig):
-    """One fused device graph: encode -> rewire substreams -> decode."""
+def build_pair(cfg: CodecConfig):
+    """Encode fn and a decode fn taking the encoder's device outputs."""
     enc = ic.build_encode_plane(cfg, chroma=False)
     dec = ic.build_decode_plane(cfg, chroma=False)
     plans, _ = ic.make_plane_plans(cfg, chroma=False)
     L = ic._lanes(cfg)
     cap16 = ic._cap_words16(plans, L) + L + 8
 
-    def roundtrip(x):
-        wA, tA, wB, tB = enc(x)
+    def rewire(wA, wB):
         states = wB[:L]
         body = wB[L:]
         inter = jnp.stack(
@@ -65,44 +71,79 @@ def build_roundtrip(cfg: CodecConfig):
         ).reshape(-1)
         s16 = jnp.zeros((cap16,), jnp.uint32)
         s16 = s16.at[: inter.shape[0]].set(inter[:cap16])
-        return dec(wA, states, s16), tA, tB
+        return wA, states, s16
 
-    return jax.jit(roundtrip)
+    return enc, jax.jit(rewire), dec
+
+
+def timeit(fn, args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
 
 
 def main():
     img = synthetic(N, N)
-    cfg = CodecConfig(width=N, height=N, quant=0, transform=Transform.CDF53)
+    rows_out = {}
+    headline = None
 
-    # host-path correctness: full container round trip, bit-exact
-    data = ic.encode_image(img, cfg)
-    out = ic.decode_image(data)
-    exact = np.array_equal(out, img.astype(np.int32))
-    bpp = len(data) * 8 / (N * N)
-    print(f"host path: bpp={bpp:.3f} exact={exact}", file=sys.stderr)
-    if not exact:
-        print(json.dumps({"metric": "lossless_roundtrip_failed", "value": 0,
-                          "unit": "", "vs_baseline": 0.0}))
-        sys.exit(1)
+    for name, kw, base_enc, base_dec in ROWS:
+        cfg = CodecConfig(width=N, height=N, **kw)
+        # host-path correctness first
+        data = ic.encode_image(img, cfg)
+        out = ic.decode_image(data)
+        bpp = len(data) * 8 / (N * N)
+        if cfg.lossless:
+            ok = np.array_equal(out, img.astype(np.int32))
+            q = None
+        else:
+            err = (out.astype(np.float64) - img.astype(np.float64))
+            mse = float(np.mean(err * err))
+            q = 10 * np.log10(255.0**2 / mse)
+            ok = q > 30.0
+        print(f"{name}: bpp={bpp:.3f} "
+              + (f"psnr={q:.2f} " if q else "exact ")
+              + f"ok={ok}", file=sys.stderr)
+        if not ok:
+            print(json.dumps({"metric": f"{name}_failed", "value": 0,
+                              "unit": "", "vs_baseline": 0.0}))
+            sys.exit(1)
 
-    rt = build_roundtrip(cfg)
-    x = jnp.asarray(img).astype(jnp.int32) - 128
-    y, tA, tB = rt(x)
-    jax.block_until_ready(y)
-    assert bool(jnp.all(y == x)), "device round trip mismatch"
+        enc, rewire, dec = build_pair(cfg)
+        x = jnp.asarray(img).astype(jnp.int32) - 128
+        if not cfg.lossless:
+            x = x << SHIFT
+        dt_e, (wA, tA, wB, tB) = timeit(enc, (x,))
+        dargs = rewire(wA, wB)
+        jax.block_until_ready(dargs)
+        dt_d, y = timeit(dec, dargs)
+        if cfg.lossless:
+            assert bool(jnp.all(y == x)), f"{name}: device decode mismatch"
+        enc_mpixs = N * N / dt_e / 1e6
+        dec_mpixs = N * N / dt_d / 1e6
+        rows_out[name] = {
+            "enc_mpix_s": round(enc_mpixs, 2),
+            "dec_mpix_s": round(dec_mpixs, 2),
+            "vs_enc": round(enc_mpixs / base_enc, 2),
+            "vs_dec": round(dec_mpixs / base_dec, 2),
+            "bpp": round(bpp, 3),
+        }
+        if name == "lossless":
+            headline = 1.0 / (1.0 / enc_mpixs + 1.0 / dec_mpixs)
+        print(f"{name}: enc {enc_mpixs:.1f} ({enc_mpixs/base_enc:.2f}x) "
+              f"dec {dec_mpixs:.1f} ({dec_mpixs/base_dec:.2f}x)",
+              file=sys.stderr)
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y, tA, tB = rt(x)
-    jax.block_until_ready(y)
-    dt = (time.perf_counter() - t0) / reps
-    mpix_s = (N * N) / dt / 1e6
     print(json.dumps({
         "metric": "lossless_encdec_throughput",
-        "value": round(mpix_s, 2),
+        "value": round(headline, 2),
         "unit": "Mpix/s",
-        "vs_baseline": round(mpix_s / BASELINE_COMBINED_MPIX_S, 2),
+        "vs_baseline": round(headline / BASELINE_COMBINED_MPIX_S, 2),
+        "rows": rows_out,
     }))
 
 
