@@ -76,13 +76,22 @@ def build_pair(cfg: CodecConfig):
     return enc, jax.jit(rewire), dec
 
 
-def timeit(fn, args, reps=5):
+def _sync(out):
+    """Force real completion: fetch a scalar from one output (outputs of a
+    single XLA program materialize together, and the stream is in-order).
+    On the axon tunnel platform block_until_ready returns before the
+    device finishes; a host fetch cannot."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[:1])
+
+
+def timeit(fn, args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps, out
 
 

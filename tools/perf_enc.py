@@ -3,8 +3,11 @@
 Stages: payload (DWT+quant+zerotree+fields) -> tables (hist+normalize) ->
 rows (slot grid build) -> scan (encode_packed) -> compact (word stream).
 """
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -32,13 +35,21 @@ def synthetic(h, w, seed=7):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def timeit(fn, *args, reps=5):
+def _sync(out):
+    """Fetch a scalar from one output leaf (block_until_ready does not
+    actually wait on the axon tunnel platform; in-order stream + whole-
+    program output materialization make one fetch sufficient)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jnp.ravel(leaf)[:1])
+
+
+def timeit(fn, *args, reps=10):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
