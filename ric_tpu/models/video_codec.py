@@ -10,11 +10,24 @@ the just-encoded residual stream (encoder and decoder share the exact
 decode path, so drift is impossible by construction — the reference gets
 the same property from its templated encode/decode code sharing).
 
-MV fields are 2-D-gradient delta coded (like the LL band) and raw
-bit-packed: per node an intra flag, then per component a 4-bit size class
-and size-1 refinement bits — tiny substream, fully parallel both ways.
+Color: like the reference (rududucodec.cpp:67-76 loops components), every
+frame codes all planes (Y, Cg, Co after the reversible YCoCg transform);
+motion is estimated on the luma reconstruction (COBME::EPZS SADs component
+0, obme.cpp:74) and applied to every plane through its own quarter-pel
+bank (imagebuffer calc_sub builds banks per component).
 
-Container RTV1: per-frame (ftype, mv, residual A/B) substreams.
+The whole per-frame pipeline is ONE jitted device graph: DWT + entropy
+encode, the device-side stream rewire, and the in-loop decode + OBMC
+prediction all fuse; only the finished stream words and the (tiny) MV
+field cross to the host, where the MV field is serial range coded and the
+container assembled.
+
+MV fields are 2-D-gradient delta coded (like the LL band): per node an
+intra flag, then per component a size class (adaptive serial model) and
+size-1 refinement bits — tiny substream.
+
+Container RTV1 v2: per-frame (ftype, mv, per-plane residual A/B)
+substreams.
 """
 from __future__ import annotations
 
@@ -135,84 +148,206 @@ def decode_mv(data: bytes, gy: int, gx: int):
 
 
 # --------------------------------------------------------------------------
-# Frame pipeline
+# Fused frame pipeline (device graphs, built once per (w, h, quant, color))
 # --------------------------------------------------------------------------
 
 
-def _encode_frame_plane(x, cfg: CodecConfig):
-    a, b = image_codec.encode_plane_bytes(x, cfg, chroma=False)
-    return a, b
+def _stream_caps(cfg: CodecConfig):
+    plans, _ = image_codec.make_plane_plans(cfg, False)
+    L = image_codec._lanes(cfg)
+    capA = image_codec._cap_words_a(cfg)
+    cap16 = image_codec._cap_words16(plans, L) + L + 8
+    return L, capA, cap16
 
 
-def _decode_frame_plane(a: bytes, b: bytes, cfg: CodecConfig):
-    return image_codec.decode_plane_bytes(a, b, cfg, chroma=False)
+def _make_rewire(L: int, cap16: int):
+    """Device-side stream rewire: the encoder's B words -> decoder inputs
+    (lane states + u16 word stream), no host round trip."""
+
+    def rewire(wB):
+        states = wB[:L]
+        body = wB[L:]
+        inter = jnp.stack(
+            [body & jnp.uint32(0xFFFF), body >> 16], axis=1
+        ).reshape(-1)
+        s16 = jnp.zeros((cap16,), jnp.uint32)
+        s16 = s16.at[: inter.shape[0]].set(inter[:cap16])
+        return states, s16
+
+    return rewire
+
+
+@functools.lru_cache(maxsize=8)
+def _frame_fns(w: int, h: int, quant: int, channels: int):
+    """Jitted per-frame device graphs: (key_enc, p_enc, key_dec, p_dec).
+
+    Encode fns return per-plane stream stacks plus the in-loop
+    reconstruction; decode fns mirror them from parsed stream arrays.
+    Planes: (C, H, W) working-domain int32 (YCoCg<<4 or gray<<4).
+    """
+    cfg = _frame_cfg(w, h, quant)
+    enc = image_codec.build_encode_plane(cfg, chroma=False)
+    dec = image_codec.build_decode_plane(cfg, chroma=False)
+    L, capA, cap16 = _stream_caps(cfg)
+    rewire = _make_rewire(L, cap16)
+    C = channels
+
+    def _enc_recon(x):
+        """Encode planes and decode them back in-graph (in-loop recon)."""
+        outs = [enc(x[c]) for c in range(C)]
+        recs = []
+        for wA, tA, wB, tB in outs:
+            states, s16 = rewire(wB)
+            recs.append(dec(wA, states, s16))
+        wAs = jnp.stack([o[0] for o in outs])
+        tAs = jnp.stack([o[1] for o in outs])
+        wBs = jnp.stack([o[2] for o in outs])
+        tBs = jnp.stack([o[3] for o in outs])
+        return wAs, tAs, wBs, tBs, jnp.stack(recs)
+
+    def key_enc(x):
+        return _enc_recon(x)
+
+    def _predict(recon_prev, mvy, mvx, intra):
+        preds = []
+        for c in range(C):
+            bank = video.subpel_bank(recon_prev[c])
+            preds.append(video.obmc_predict(bank, mvy, mvx, intra, h, w))
+        return jnp.stack(preds)
+
+    def p_enc(x, recon_prev):
+        banky = video.subpel_bank(recon_prev[0])
+        mvy, mvx, intra = video.motion_search(x[0], recon_prev[0], banky)
+        pred = _predict(recon_prev, mvy, mvx, intra)
+        wAs, tAs, wBs, tBs, res_rec = _enc_recon(x - pred)
+        recon = pred + res_rec
+        return wAs, tAs, wBs, tBs, recon, mvy, mvx, intra
+
+    def key_dec(wAs, states, s16s):
+        return jnp.stack([dec(wAs[c], states[c], s16s[c]) for c in range(C)])
+
+    def p_dec(wAs, states, s16s, mvy, mvx, intra, recon_prev):
+        pred = _predict(recon_prev, mvy, mvx, intra)
+        res = jnp.stack([dec(wAs[c], states[c], s16s[c]) for c in range(C)])
+        return pred + res
+
+    return (jax.jit(key_enc), jax.jit(p_enc), jax.jit(key_dec),
+            jax.jit(p_dec))
+
+
+def _planes_from_frame(frame, channels: int):
+    """uint8 frame -> (C, H, W) working-domain int32 planes."""
+    x = jnp.asarray(frame, jnp.int32)
+    if channels == 3:
+        y, co, cg = image_codec.rgb_to_ycocg(x, 4)
+        return jnp.stack([y, cg, co])
+    return ((x - 128) << 4)[None]
+
+
+def _frame_to_pixels(recon, channels: int):
+    if channels == 3:
+        rgb = image_codec.ycocg_to_rgb(recon[0], recon[2], recon[1], 4)
+        return np.asarray(rgb).astype(np.uint8)
+    out = jnp.clip(128 + ((recon[0] + 8) >> 4), 0, 255)
+    return np.asarray(out).astype(np.uint8)
+
+
+def _parse_plane_streams(pairs, cfg: CodecConfig):
+    """Per-plane (A, B) byte pairs -> stacked decoder input arrays."""
+    L, capA, cap16 = _stream_caps(cfg)
+    C = len(pairs)
+    wA = np.zeros((C, capA), np.uint32)
+    states = np.zeros((C, L), np.uint32)
+    s16 = np.zeros((C, cap16), np.uint32)
+    for c, (a, b) in enumerate(pairs):
+        bufA = np.frombuffer(a + b"\x00" * ((-len(a)) % 4), "<u4")
+        wA[c, : min(len(bufA), capA)] = bufA[:capA]
+        b32 = np.frombuffer(
+            b[: 4 * L] + b"\x00" * max(4 * L - len(b), 0), "<u4")
+        states[c] = b32[:L]
+        body = np.frombuffer(
+            b[4 * L :] + b"\x00" * ((-(len(b) - 4 * L)) % 2), "<u2")
+        s16[c, : len(body)] = body
+    return jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16)
 
 
 MAGIC = b"RTV1"
+VERSION = 2
 
 
 def encode_video(frames: np.ndarray, quant: int = 9,
                  gop: int = GOP_DEFAULT) -> bytes:
-    """frames: (N, H, W) uint8 grayscale; H, W multiples of 8."""
-    n, h, w = frames.shape
+    """frames: (N, H, W) grayscale or (N, H, W, 3) RGB uint8; H, W
+    multiples of 8. Returns an RTV1 container."""
+    color = frames.ndim == 4
+    n, h, w = frames.shape[:3]
+    channels = 3 if color else 1
     assert h % 8 == 0 and w % 8 == 0, "video dims must be multiples of 8"
-    cfg = _frame_cfg(w, h, quant)
-    gy, gx = h // 8, w // 8
+    key_enc, p_enc, _, _ = _frame_fns(w, h, quant, channels)
 
-    out = [struct.pack("<4sBBHII", MAGIC, 1, quant, gop, w, h)]
+    out = [struct.pack("<4sBBBHII", MAGIC, VERSION, 1 if color else 0,
+                       quant, gop, w, h)]
     out.append(struct.pack("<I", n))
     recon = None
     payload = []
     for t in range(n):
-        x = (jnp.asarray(frames[t], jnp.int32) - 128) << 4
+        x = _planes_from_frame(frames[t], channels)
         is_key = (t % gop) == 0 or recon is None
         if is_key:
-            a, b = _encode_frame_plane(x, cfg)
-            recon = jnp.asarray(_decode_frame_plane(a, b, cfg))
-            payload.append((0, b"", a, b))
+            wAs, tAs, wBs, tBs, recon = key_enc(x)
+            mv_stream = b""
+            ftype = 0
         else:
-            bank = video.subpel_bank(recon)
-            mvy, mvx, intra = video.motion_search(x, recon, bank)
-            pred = video.obmc_predict(bank, mvy, mvx, intra, h, w)
+            wAs, tAs, wBs, tBs, recon, mvy, mvx, intra = p_enc(x, recon)
             mv_stream = encode_mv(mvy, mvx, intra)
-            res = x - pred
-            a, b = _encode_frame_plane(res, cfg)
-            res_rec = jnp.asarray(_decode_frame_plane(a, b, cfg))
-            recon = pred + res_rec
-            payload.append((1, mv_stream, a, b))
-    for ftype, mv, a, b in payload:
-        out.append(struct.pack("<BIII", ftype, len(mv), len(a), len(b)))
-        for s in (mv, a, b):
+            ftype = 1
+        planes = []
+        for c in range(channels):
+            planes.append((
+                image_codec.words_to_bytes(wAs[c], int(tAs[c])),
+                image_codec.words_to_bytes(wBs[c], int(tBs[c])),
+            ))
+        payload.append((ftype, mv_stream, planes))
+    for ftype, mv, planes in payload:
+        lens = [len(mv)]
+        for a, b in planes:
+            lens += [len(a), len(b)]
+        out.append(struct.pack(f"<B{len(lens)}I", ftype, *lens))
+        streams = [mv] + [s for ab in planes for s in ab]
+        for s in streams:
             out.append(s + b"\x00" * ((-len(s)) % 4))
     return b"".join(out)
 
 
 def decode_video(data: bytes) -> np.ndarray:
-    magic, version, quant, gop, w, h = struct.unpack("<4sBBHII", data[:16])
-    assert magic == MAGIC
-    (n,) = struct.unpack("<I", data[16:20])
+    magic, version, color, quant, gop, w, h = struct.unpack(
+        "<4sBBBHII", data[:17])
+    assert magic == MAGIC and version == VERSION
+    (n,) = struct.unpack("<I", data[17:21])
+    channels = 3 if color else 1
     cfg = _frame_cfg(w, h, quant)
+    _, _, key_dec, p_dec = _frame_fns(w, h, quant, channels)
     gy, gx = h // 8, w // 8
-    off = 20
-    frames = np.empty((n, h, w), np.uint8)
+    off = 21
+    shape = (n, h, w, 3) if color else (n, h, w)
+    frames = np.empty(shape, np.uint8)
     recon = None
+    nlen = 1 + 2 * channels
     for t in range(n):
-        ftype, lmv, la, lb = struct.unpack("<BIII", data[off : off + 13])
-        off += 13
-        mv = data[off : off + lmv]
-        off += lmv + ((-lmv) % 4)
-        a = data[off : off + la]
-        off += la + ((-la) % 4)
-        b = data[off : off + lb]
-        off += lb + ((-lb) % 4)
+        ftype = data[off]
+        lens = struct.unpack(f"<{nlen}I", data[off + 1 : off + 1 + 4 * nlen])
+        off += 1 + 4 * nlen
+        subs = []
+        for ln in lens:
+            subs.append(data[off : off + ln])
+            off += ln + ((-ln) % 4)
+        mv = subs[0]
+        pairs = [(subs[1 + 2 * c], subs[2 + 2 * c]) for c in range(channels)]
+        wAs, states, s16s = _parse_plane_streams(pairs, cfg)
         if ftype == 0:
-            recon = jnp.asarray(_decode_frame_plane(a, b, cfg))
+            recon = key_dec(wAs, states, s16s)
         else:
-            bank = video.subpel_bank(recon)
             mvy, mvx, intra = decode_mv(mv, gy, gx)
-            pred = video.obmc_predict(bank, mvy, mvx, intra, h, w)
-            res = jnp.asarray(_decode_frame_plane(a, b, cfg))
-            recon = pred + res
-        out = jnp.clip(128 + ((recon + 8) >> 4), 0, 255)
-        frames[t] = np.asarray(out).astype(np.uint8)
+            recon = p_dec(wAs, states, s16s, mvy, mvx, intra, recon)
+        frames[t] = _frame_to_pixels(recon, channels)
     return frames

@@ -17,9 +17,11 @@ Correctness notes:
     mult08(2*o)); it's applied via a position mask at global column 0.
   * Phases stay aligned because halos and tile widths are even.
 
-Only the x axis is sharded (1-D sp mesh); the y transform is tile-local.
-Requires: global width W = sp * W_local, W_local a multiple of 2^levels,
-halo <= W_local >> (levels-1).
+Either axis (or both — a (spy, sp) grid mesh) can be sharded; the lifting
+steps are axis-symmetric, so the y axis reuses the same halo machinery via
+a moveaxis. Requires per sharded axis: global length N = s * N_local,
+N_local a multiple of 2^levels, halo <= N_local >> (levels-1). Arbitrary
+global sizes are handled one level up by tiling.pad_for_grid.
 """
 from __future__ import annotations
 
@@ -53,10 +55,15 @@ def _exchange(x, h, axis_name):
     return left, right
 
 
-def _fwd_x_tiled(x, transform: Transform, axis_name):
-    """Sharded-axis 1-D forward lifting. x: (..., W_local). Returns (d, l)
-    local phases, identical to the corresponding slice of the global
-    transform."""
+def _fwd_x_tiled(x, transform: Transform, axis_name, axis: int = -1):
+    """Sharded-axis 1-D forward lifting along array `axis` (mesh axis
+    `axis_name`). Returns (d, l) local phases, identical to the
+    corresponding slice of the global transform."""
+    if axis != -1:
+        d, l = _fwd_x_tiled(
+            jnp.moveaxis(x, axis, -1), transform, axis_name
+        )
+        return jnp.moveaxis(d, -1, axis), jnp.moveaxis(l, -1, axis)
     h = HALO[Transform(transform)]
     w = x.shape[-1]
     if h == 0:  # haar: pairs are tile-local for even tile widths
@@ -77,8 +84,14 @@ def _fwd_x_tiled(x, transform: Transform, axis_name):
     return d[..., hh : hh + (w + 1) // 2], l[..., hh : hh + w // 2]
 
 
-def _inv_x_tiled(d, l, transform: Transform, axis_name):
+def _inv_x_tiled(d, l, transform: Transform, axis_name, axis: int = -1):
     """Inverse of _fwd_x_tiled. d, l: local phases (w//2 each, w even)."""
+    if axis != -1:
+        x = _inv_x_tiled(
+            jnp.moveaxis(d, axis, -1), jnp.moveaxis(l, axis, -1),
+            transform, axis_name,
+        )
+        return jnp.moveaxis(x, -1, axis)
     h = HALO[Transform(transform)]
     if h == 0:
         w = d.shape[-1] + l.shape[-1]
@@ -136,31 +149,42 @@ def _exchange_phase(p, hh, axis_name, phase):
     return left, right
 
 
-def dwt2d_tiled(x, transform: Transform, axis_name):
-    """One 2-D level on a column-sharded tile: sharded x then local y."""
+def dwt2d_tiled(x, transform: Transform, axis_name, ax_y=None):
+    """One 2-D level on a grid-sharded tile: sharded x lifting, then y
+    lifting (sharded over mesh axis `ax_y` when given, else tile-local)."""
     d, l = _fwd_x_tiled(x, transform, axis_name)
-    D, V = lifting.fwd_lift_1d(d, transform, axis=-2)
-    Hb, Lb = lifting.fwd_lift_1d(l, transform, axis=-2)
+    if ax_y is None:
+        D, V = lifting.fwd_lift_1d(d, transform, axis=-2)
+        Hb, Lb = lifting.fwd_lift_1d(l, transform, axis=-2)
+    else:
+        D, V = _fwd_x_tiled(d, transform, ax_y, axis=-2)
+        Hb, Lb = _fwd_x_tiled(l, transform, ax_y, axis=-2)
     return {"D": D, "H": Hb, "V": V, "L": Lb}
 
 
-def idwt2d_tiled(bands, shape, transform: Transform, axis_name):
+def idwt2d_tiled(bands, shape, transform: Transform, axis_name, ax_y=None):
     H, _ = shape
-    d = lifting.inv_lift_1d(bands["D"], bands["V"], H, transform, axis=-2)
-    l = lifting.inv_lift_1d(bands["H"], bands["L"], H, transform, axis=-2)
+    if ax_y is None:
+        d = lifting.inv_lift_1d(bands["D"], bands["V"], H, transform, axis=-2)
+        l = lifting.inv_lift_1d(bands["H"], bands["L"], H, transform, axis=-2)
+    else:
+        d = _inv_x_tiled(bands["D"], bands["V"], transform, ax_y, axis=-2)
+        l = _inv_x_tiled(bands["H"], bands["L"], transform, ax_y, axis=-2)
     return _inv_x_tiled(d, l, transform, axis_name)
 
 
 def dwt_tiled(x, transform: Transform, levels: int, global_width: int,
-              axis_name):
-    """Multi-level tiled DWT. x: local (H, W_local) int32. Level recursion
-    follows the *global* dims (lifting.level_dims semantics)."""
-    h = x.shape[-2]
+              axis_name, global_height: int | None = None, ax_y=None):
+    """Multi-level tiled DWT. x: local (H_local, W_local) int32. Level
+    recursion follows the *global* dims (lifting.level_dims semantics).
+    When `ax_y` names a mesh axis the y dimension is sharded over it too
+    (2-D tile grid); `global_height` is then required."""
+    h = global_height if ax_y is not None else x.shape[-2]
     dims = lifting.level_dims(global_width, h, levels)
     pyramid = []
     cur = x.astype(jnp.int32)
     for i, (lh, lw) in enumerate(dims):
-        bands = dwt2d_tiled(cur, transform, axis_name)
+        bands = dwt2d_tiled(cur, transform, axis_name, ax_y=ax_y)
         entry = {"D": bands["D"], "H": bands["H"], "V": bands["V"]}
         if i == len(dims) - 1:
             entry["L"] = bands["L"]
@@ -171,7 +195,7 @@ def dwt_tiled(x, transform: Transform, levels: int, global_width: int,
 
 
 def idwt_tiled(pyramid, global_width: int, height: int,
-               transform: Transform, axis_name):
+               transform: Transform, axis_name, ax_y=None):
     dims = lifting.level_dims(global_width, height, len(pyramid))
     cur = pyramid[-1]["L"]
     for i in range(len(pyramid) - 1, -1, -1):
@@ -179,5 +203,5 @@ def idwt_tiled(pyramid, global_width: int, height: int,
             "D": pyramid[i]["D"], "H": pyramid[i]["H"],
             "V": pyramid[i]["V"], "L": cur,
         }
-        cur = idwt2d_tiled(bands, dims[i], transform, axis_name)
+        cur = idwt2d_tiled(bands, dims[i], transform, axis_name, ax_y=ax_y)
     return cur

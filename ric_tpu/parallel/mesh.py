@@ -22,3 +22,15 @@ def make_mesh(n_devices: int | None = None, dp: int = 1):
     import numpy as np
 
     return Mesh(np.asarray(devs).reshape(dp, sp), ("dp", "sp"))
+
+
+def make_grid_mesh(spy: int, spx: int, n_devices: int | None = None):
+    """2-D spatial (spy, sp) mesh: the image plane is tiled as a grid,
+    rows over `spy`, columns over `sp` (mode-2 halo exchange runs on both
+    axes)."""
+    devs = jax.devices()
+    n = n_devices or spy * spx
+    assert spy * spx == n, f"grid {spy}x{spx} != {n} devices"
+    import numpy as np
+
+    return Mesh(np.asarray(devs[:n]).reshape(spy, spx), ("spy", "sp"))

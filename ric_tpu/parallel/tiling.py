@@ -54,13 +54,20 @@ def build_tiled_encode(tile_cfg: CodecConfig, mesh):
 def encode_image_tiled(img: np.ndarray, cfg: CodecConfig, mesh) -> list[bytes]:
     """Encode one grayscale image tiled over the mesh sp axis.
 
-    Returns the per-tile substreams (deterministic order: tile column 0..n).
+    Any width is accepted: when W doesn't divide by sp the image is
+    edge-replicate padded to sp equal columns (tile dims may be odd — each
+    tile is a full independent codec, which handles arbitrary dims the way
+    the reference handles any WxH, wavelet2d.cpp:73-79); the decoder crops
+    the padding away. Returns the per-tile substreams (deterministic order:
+    tile column 0..n).
     """
     sp = mesh.shape["sp"]
     h, w = img.shape
-    assert w % sp == 0, "width must divide evenly into sp tiles"
+    tw = -(-w // sp)
+    if w != sp * tw:
+        img = np.pad(img, ((0, 0), (0, sp * tw - w)), mode="edge")
     tile_cfg = CodecConfig(
-        width=w // sp, height=h, quant=cfg.quant, transform=cfg.transform,
+        width=tw, height=h, quant=cfg.quant, transform=cfg.transform,
         levels=cfg.levels, input_depth=cfg.input_depth,
     )
     fn = build_tiled_encode(tile_cfg, mesh)
@@ -75,47 +82,111 @@ def encode_image_tiled(img: np.ndarray, cfg: CodecConfig, mesh) -> list[bytes]:
 
 def decode_image_tiled(streams: list[bytes], cfg: CodecConfig,
                        tile_cfg: CodecConfig) -> np.ndarray:
-    """Decode per-tile substreams and reassemble (host loop over tiles)."""
+    """Decode per-tile substreams and reassemble (host loop over tiles),
+    cropping any encoder-side padding to cfg dims."""
     sp = len(streams) // 2
-    out = np.empty((cfg.height, cfg.width), np.int32)
     tw = tile_cfg.width
+    out = np.empty((cfg.height, sp * tw), np.int32)
     for t in range(sp):
         out[:, t * tw : (t + 1) * tw] = image_codec.decode_plane_bytes(
             streams[2 * t], streams[2 * t + 1], tile_cfg, chroma=False
         )
-    return out
+    return out[:, : cfg.width]
 
 
 def decode_container_tiled(cfg: CodecConfig, streams: list[bytes],
                            tiles: tuple[int, int]) -> np.ndarray:
     """Decode a mode-1 tiled container (independent per-tile codecs) read
     back from container.read_container. Stream order is raster over the
-    (ty, tx) tile grid, channels-in-tile, two substreams per plane."""
+    (ty, tx) tile grid, channels-in-tile, two substreams per plane. Tile
+    dims are ceil(W/tx) x ceil(H/ty); encoder-side edge padding (when the
+    grid doesn't divide the image) is cropped away."""
     import dataclasses
 
     tx, ty = tiles
-    if cfg.width % tx or cfg.height % ty:
-        raise ValueError(f"tiled container dims {cfg.width}x{cfg.height} "
-                         f"not divisible by tile grid {tx}x{ty}")
-    tcfg = dataclasses.replace(
-        cfg, width=cfg.width // tx, height=cfg.height // ty
-    )
+    tw, th = -(-cfg.width // tx), -(-cfg.height // ty)
+    tcfg = dataclasses.replace(cfg, width=tw, height=th)
     per_tile = cfg.channels * 2
     shape = (
-        (cfg.height, cfg.width)
-        if cfg.channels == 1
-        else (cfg.height, cfg.width, 3)
+        (ty * th, tx * tw) if cfg.channels == 1 else (ty * th, tx * tw, 3)
     )
     out = np.empty(shape, np.int32)
     for j in range(ty):
         for i in range(tx):
             sub = streams[(j * tx + i) * per_tile :][:per_tile]
             tile = image_codec.decode_plane_streams(sub, tcfg)
-            out[
-                j * tcfg.height : (j + 1) * tcfg.height,
-                i * tcfg.width : (i + 1) * tcfg.width,
-            ] = tile
-    return out
+            out[j * th : (j + 1) * th, i * tw : (i + 1) * tw] = tile
+    return out[: cfg.height, : cfg.width]
+
+
+def build_tiled_encode_planes(tile_cfg: CodecConfig, mesh, channels: int):
+    """Mode-1 multi-plane tiled encoder: (C, H, sp*tw) int32 working-domain
+    planes (Y[, Cg, Co]) -> per-tile stream stacks
+    (wA (sp, C, capA), tA (sp, C), wB (sp, C, capB), tB (sp, C))."""
+    enc_y = image_codec.build_encode_plane(tile_cfg, chroma=False)
+    enc_c = (
+        image_codec.build_encode_plane(tile_cfg, chroma=True)
+        if channels == 3 else None
+    )
+
+    def local(xt):
+        outs = [enc_y(xt[0])]
+        if channels == 3:
+            outs.append(enc_c(xt[1]))
+            outs.append(enc_c(xt[2]))
+        wA = jnp.stack([o[0] for o in outs])
+        tA = jnp.stack([o[1] for o in outs])
+        wB = jnp.stack([o[2] for o in outs])
+        tB = jnp.stack([o[3] for o in outs])
+        return wA[None], tA[None], wB[None], tB[None]
+
+    fn = shard_map(
+        local, mesh=mesh, in_specs=(P(None, None, "sp"),),
+        out_specs=(P("sp", None, None), P("sp", None),
+                   P("sp", None, None), P("sp", None)),
+    )
+    return jax.jit(fn)
+
+
+def encode_image_tiled_container(img: np.ndarray, cfg: CodecConfig,
+                                 mesh) -> bytes:
+    """Mode-1 tiled encode of a raw uint8/uint16 image ((H, W) gray or
+    (H, W, 3) RGB, 8- or 16-bit per cfg.input_depth) into an RTP1 container
+    with tiles=(sp, 1). Arbitrary widths: edge padding, cropped on decode
+    (decode_container_tiled). decode_image routes the container back here."""
+    import dataclasses
+
+    sp = mesh.shape["sp"]
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    tw = -(-w // sp)
+    if sp * tw != w:
+        pad = ((0, 0), (0, sp * tw - w)) + ((0, 0),) * (img.ndim - 2)
+        img = np.pad(img, pad, mode="edge")
+    x32 = jnp.asarray(img).astype(jnp.int32)
+    from ric_tpu.config import SHIFT
+
+    if cfg.channels == 3:
+        y, co, cg = image_codec.rgb_to_ycocg(
+            x32, 0 if cfg.lossless else SHIFT)
+        x = jnp.stack([y, cg, co])
+    else:
+        mid = 1 << (cfg.input_depth - 1)
+        if cfg.lossless or cfg.input_depth != 8:
+            x = (x32 - mid)[None]
+        else:
+            x = ((x32 - mid) << SHIFT)[None]
+    tile_cfg = dataclasses.replace(cfg, width=tw, height=h)
+    fn = build_tiled_encode_planes(tile_cfg, mesh, cfg.channels)
+    wA, tA, wB, tB = fn(x)
+    streams = []
+    for t in range(sp):
+        for c in range(cfg.channels):
+            streams.append(image_codec.words_to_bytes(wA[t, c], int(tA[t, c])))
+            streams.append(image_codec.words_to_bytes(wB[t, c], int(tB[t, c])))
+    from ric_tpu.utils import container
+
+    return container.write_container(cfg, streams, tiles=(sp, 1))
 
 
 # --------------------------------------------------------------------------
@@ -125,9 +196,9 @@ def decode_container_tiled(cfg: CodecConfig, streams: list[bytes],
 # --------------------------------------------------------------------------
 
 
-def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int):
+def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int, spy: int = 1):
     """Per-tile band plans under the GLOBAL level recursion: every band's
-    tile slice must align to whole 4-px blocks."""
+    tile slice must align to whole 4-px blocks (both grid axes)."""
     plans_g, dims = image_codec.make_plane_plans(cfg, chroma)
     plans = []
     for p in plans_g:
@@ -135,7 +206,10 @@ def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int):
         assert w % sp == 0 and (w // sp) % 4 == 0, (
             f"band {p.name}: width {w} not tileable by {sp}"
         )
-        shape = (h, w // sp)
+        assert h % spy == 0 and (spy == 1 or (h // spy) % 4 == 0), (
+            f"band {p.name}: height {h} not tileable by {spy}"
+        )
+        shape = (h // spy, w // sp)
         plans.append(
             image_codec.BandPlan(
                 p.name, p.orient, p.level, p.kind, shape,
@@ -145,18 +219,48 @@ def make_tile_plans(cfg: CodecConfig, chroma: bool, sp: int):
     return plans, dims
 
 
-def _tile_cfg(cfg: CodecConfig, sp: int) -> CodecConfig:
+def _tile_cfg(cfg: CodecConfig, sp: int, spy: int = 1) -> CodecConfig:
     import dataclasses
 
-    return dataclasses.replace(cfg, width=cfg.width // sp)
+    return dataclasses.replace(
+        cfg, width=cfg.width // sp, height=cfg.height // spy
+    )
+
+
+def grid_pad_multiple(levels: int, tiles: int) -> int:
+    """Axis-length multiple that keeps every level of the global recursion
+    (halving `levels` times, wavelet2d.cpp:73-79) evenly splittable into
+    `tiles` tile slices of whole 4-px blocks."""
+    return tiles * 4 * (1 << levels)
+
+
+def pad_for_grid(img: np.ndarray, cfg: CodecConfig, spx: int, spy: int):
+    """Edge-replicate pad an (H, W) plane so the (spy, spx) global-DWT grid
+    divides cleanly at every level. Returns (padded, padded_cfg); decode
+    crops back to cfg dims. Lossless round-trips are unaffected; lossy
+    reconstructions may differ from untiled only within the transform's
+    support of the padded border."""
+    import dataclasses
+
+    my = grid_pad_multiple(cfg.levels, spy)
+    mx = grid_pad_multiple(cfg.levels, spx)
+    h, w = img.shape[-2:]
+    hp, wp = -(-h // my) * my, -(-w // mx) * mx
+    if (hp, wp) != (h, w):
+        img = np.pad(img, ((0, hp - h), (0, wp - w)), mode="edge")
+    return img, dataclasses.replace(cfg, width=wp, height=hp)
 
 
 def build_tiled_encode_global(cfg: CodecConfig, mesh):
-    """Returns jitted fn: (H, W) int32 -> (wordsA (sp, capA), tA (sp,),
-    wordsB (sp, capB), tB (sp,)). Global-DWT mode."""
+    """Returns jitted fn: (H, W) int32 -> per-tile streams. 1-D sp mesh:
+    (wordsA (sp, capA), tA (sp,), wordsB (sp, capB), tB (sp,)); a mesh with
+    a 'spy' axis tiles both image axes and the leading stream dim becomes
+    (spy, sp). Global-DWT mode (decode bit-identical to untiled)."""
     sp = mesh.shape["sp"]
-    plans, dims = make_tile_plans(cfg, False, sp)
-    tcfg = _tile_cfg(cfg, sp)
+    spy = dict(mesh.shape).get("spy", 1)
+    grid = spy > 1
+    plans, dims = make_tile_plans(cfg, False, sp, spy)
+    tcfg = _tile_cfg(cfg, sp, spy)
     L = image_codec._lanes(tcfg)
     capA = image_codec._cap_words_a(tcfg)
     cap16 = image_codec._cap_words16(plans, L)
@@ -167,28 +271,44 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
 
     def local(xt):
         pyr = halo_dwt.dwt_tiled(
-            xt, Transform(cfg.transform), cfg.levels, cfg.width, "sp"
+            xt, Transform(cfg.transform), cfg.levels, cfg.width, "sp",
+            global_height=cfg.height, ax_y="spy" if grid else None,
         )
         payload = image_codec._payload_from_pyramid(plans, pyr)
         wA, tA, wB, tB = image_codec._payload_to_streams(
             plans, L, capA, cap16, image_tables, static_tables, payload)
+        if grid:
+            return (wA[None, None], tA[None, None],
+                    wB[None, None], tB[None, None])
         return wA[None], tA[None], wB[None], tB[None]
 
-    fn = shard_map(
-        local, mesh=mesh, in_specs=(P(None, "sp"),),
-        out_specs=(P("sp", None), P("sp"), P("sp", None), P("sp")),
-    )
+    if grid:
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(P("spy", "sp"),),
+            out_specs=(P("spy", "sp", None), P("spy", "sp"),
+                       P("spy", "sp", None), P("spy", "sp")),
+        )
+    else:
+        fn = shard_map(
+            local, mesh=mesh, in_specs=(P(None, "sp"),),
+            out_specs=(P("sp", None), P("sp"), P("sp", None), P("sp")),
+        )
     return jax.jit(fn)
 
 
 def encode_image_tiled_global(img, cfg: CodecConfig, mesh):
     """Global-DWT tiled encode of one plane. Returns per-tile substreams
-    [A0, B0, A1, B1, ...] in tile order (deterministic stitch)."""
+    [A0, B0, A1, B1, ...] in raster tile order (deterministic stitch)."""
     sp = mesh.shape["sp"]
+    spy = dict(mesh.shape).get("spy", 1)
     fn = build_tiled_encode_global(cfg, mesh)
     wA, tA, wB, tB = fn(jnp.asarray(img, jnp.int32))
+    if spy > 1:
+        wA = wA.reshape(spy * sp, -1)
+        wB = wB.reshape(spy * sp, -1)
+        tA, tB = tA.reshape(-1), tB.reshape(-1)
     streams = []
-    for t in range(sp):
+    for t in range(spy * sp):
         streams.append(image_codec.words_to_bytes(wA[t], int(tA[t])))
         streams.append(image_codec.words_to_bytes(wB[t], int(tB[t])))
     return streams
@@ -196,8 +316,10 @@ def encode_image_tiled_global(img, cfg: CodecConfig, mesh):
 
 def build_tiled_decode_global(cfg: CodecConfig, mesh):
     sp = mesh.shape["sp"]
-    plans, dims = make_tile_plans(cfg, False, sp)
-    tcfg = _tile_cfg(cfg, sp)
+    spy = dict(mesh.shape).get("spy", 1)
+    grid = spy > 1
+    plans, dims = make_tile_plans(cfg, False, sp, spy)
+    tcfg = _tile_cfg(cfg, sp, spy)
     L = image_codec._lanes(tcfg)
     nlev = len(dims)
     image_tables = image_codec._use_image_tables(tcfg)
@@ -206,34 +328,46 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
     from ric_tpu.config import Transform
 
     def local(wordsA, statesB, stream16):
-        wordsA, statesB, stream16 = wordsA[0], statesB[0], stream16[0]
+        take = (lambda a: a[0, 0]) if grid else (lambda a: a[0])
+        wordsA, statesB, stream16 = (
+            take(wordsA), take(statesB), take(stream16))
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, static_tables,
             wordsA, statesB, stream16)
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
-            pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp"
+            pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp",
+            ax_y="spy" if grid else None,
         )
 
-    fn = shard_map(
-        local, mesh=mesh,
-        in_specs=(P("sp", None), P("sp", None), P("sp", None)),
-        out_specs=P(None, "sp"),
-    )
+    if grid:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("spy", "sp", None),) * 3,
+            out_specs=P("spy", "sp"),
+        )
+    else:
+        fn = shard_map(
+            local, mesh=mesh,
+            in_specs=(P("sp", None), P("sp", None), P("sp", None)),
+            out_specs=P(None, "sp"),
+        )
     return jax.jit(fn)
 
 
 def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
     sp = mesh.shape["sp"]
-    plans, _ = make_tile_plans(cfg, False, sp)
-    tcfg = _tile_cfg(cfg, sp)
+    spy = dict(mesh.shape).get("spy", 1)
+    plans, _ = make_tile_plans(cfg, False, sp, spy)
+    tcfg = _tile_cfg(cfg, sp, spy)
     L = image_codec._lanes(tcfg)
     capA = image_codec._cap_words_a(tcfg)
     cap16 = image_codec._cap_words16(plans, L) + L + 8
-    wA = np.zeros((sp, capA), np.uint32)
-    states = np.zeros((sp, L), np.uint32)
-    s16 = np.zeros((sp, cap16), np.uint32)
-    for t in range(sp):
+    nt = spy * sp
+    wA = np.zeros((nt, capA), np.uint32)
+    states = np.zeros((nt, L), np.uint32)
+    s16 = np.zeros((nt, cap16), np.uint32)
+    for t in range(nt):
         a, b = streams[2 * t], streams[2 * t + 1]
         bufA = np.frombuffer(a + b"\x00" * ((-len(a)) % 4), dtype="<u4")
         wA[t, : min(len(bufA), capA)] = bufA[:capA]
@@ -243,6 +377,27 @@ def decode_image_tiled_global(streams, cfg: CodecConfig, mesh):
         body = np.frombuffer(
             b[4 * L :] + b"\x00" * ((-(len(b) - 4 * L)) % 2), "<u2")
         s16[t, : len(body)] = body
+    if spy > 1:
+        wA = wA.reshape(spy, sp, -1)
+        states = states.reshape(spy, sp, -1)
+        s16 = s16.reshape(spy, sp, -1)
     fn = build_tiled_decode_global(cfg, mesh)
     out = fn(jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16))
     return np.asarray(out)
+
+
+def encode_image_tiled_global_any(img, cfg: CodecConfig, mesh):
+    """Mode-2 encode of an arbitrary-size plane: pads internally to the
+    grid-divisible dims (pad_for_grid) and encodes the padded plane.
+    Returns (streams, padded_cfg); pass both to
+    decode_image_tiled_global_any to get the original dims back."""
+    spy = dict(mesh.shape).get("spy", 1)
+    img = np.asarray(img)
+    padded, pcfg = pad_for_grid(img, cfg, mesh.shape["sp"], spy)
+    return encode_image_tiled_global(padded, pcfg, mesh), pcfg
+
+
+def decode_image_tiled_global_any(streams, cfg: CodecConfig,
+                                  pcfg: CodecConfig, mesh):
+    out = decode_image_tiled_global(streams, pcfg, mesh)
+    return out[: cfg.height, : cfg.width]

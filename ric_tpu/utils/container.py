@@ -17,7 +17,10 @@ Layout (little-endian):
   12  u32 height
   16  u16 tiles_x, u16 tiles_y  (1,1 = untiled)
   20  u32 x nstreams  byte length of each substream
-  then the substreams, each padded to a 4-byte boundary.
+  then u32 x nstreams per-substream CRC32s, a u32 CRC32 of everything
+  above (header self-check — a flipped dim/quant byte must not silently
+  decode as a different config), then the substreams, each padded to a
+  4-byte boundary.
 """
 from __future__ import annotations
 
@@ -57,8 +60,9 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
     from ric_tpu.utils.native import crc32
 
     crcs = struct.pack(f"<{len(streams)}I", *[crc32(s) for s in streams])
+    hcrc = struct.pack("<I", crc32(head + lens + crcs))
     body = b"".join(s + b"\x00" * ((-len(s)) % 4) for s in streams)
-    return head + lens + crcs + body
+    return head + lens + crcs + hcrc + body
 
 
 def read_container(data: bytes):
@@ -85,6 +89,12 @@ def read_container(data: bytes):
     if (flags >> 5) & 1:
         crcs = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
         off += 4 * nstreams
+        from ric_tpu.utils.native import crc32
+
+        (hcrc,) = struct.unpack("<I", data[off : off + 4])
+        if crc32(data[:off]) != hcrc:
+            raise CorruptStream("header CRC mismatch")
+        off += 4
     streams = []
     for i, ln in enumerate(lens):
         s = data[off : off + ln]

@@ -22,3 +22,52 @@ def test_crc_roundtrip_and_corruption():
     bad[-3] ^= 0xFF
     with pytest.raises(container.CorruptStream, match="substream 1"):
         container.read_container(bytes(bad))
+
+
+def test_fuzz_truncation_and_corruption(rng):
+    """Truncated or bit-flipped containers must raise clean errors, never
+    return garbage pixels (VERDICT round-1 item 8 fuzz requirement)."""
+    import struct
+
+    from ric_tpu.config import Transform
+    from ric_tpu.models import image_codec
+
+    img = np.clip(
+        128 + 40 * rng.standard_normal((32, 32)), 0, 255
+    ).astype(np.uint8)
+    cfg = CodecConfig(width=32, height=32, quant=0,
+                      transform=Transform.CDF53, levels=2)
+    data = image_codec.encode_image(img, cfg)
+    clean = (container.BadMagic, container.CorruptStream, ValueError,
+             struct.error, IndexError)
+    # truncations at every prefix length class
+    for cut in [0, 3, 7, 16, 19, len(data) // 2, len(data) - 1]:
+        with pytest.raises(clean):
+            out = image_codec.decode_image(data[:cut])
+            # a decode that "succeeds" must still be the right pixels
+            if not np.array_equal(out, img.astype(np.int32)):
+                raise ValueError("garbage pixels from truncated stream")
+    # random single-byte corruptions across the whole container
+    for _ in range(24):
+        pos = int(rng.integers(0, len(data)))
+        bad = bytearray(data)
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = image_codec.decode_image(bytes(bad))
+        except clean:
+            continue
+        # corruption in padding bytes can legitimately decode clean; the
+        # pixels must then be exact
+        np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_plane_too_large_guard():
+    """16k x 16k single-tile encode exceeds the int32 stream ceiling and
+    must be rejected with a pointer at the tiled paths."""
+    from ric_tpu.config import Transform
+    from ric_tpu.models import image_codec
+
+    cfg = CodecConfig(width=16384, height=16384, quant=0,
+                      transform=Transform.CDF53)
+    with pytest.raises(image_codec.PlaneTooLarge, match="tiled"):
+        image_codec.build_encode_plane(cfg, chroma=False)

@@ -45,3 +45,45 @@ def test_tiled_global_matches_untiled(rng, quant):
     np.testing.assert_array_equal(out, ref)
     if quant == 0:
         np.testing.assert_array_equal(out, x)
+
+
+@needs_8
+@pytest.mark.parametrize("quant", [0, 9])
+def test_grid_tiled_global_matches_untiled(rng, quant):
+    """2-D (spy, sp) tile grid, both axes halo-exchanged (VERDICT item 4)."""
+    from ric_tpu.parallel.mesh import make_grid_mesh
+
+    h, w = 128, 256
+    x = _img(rng, h, w)
+    if quant:
+        x = x << 4
+    cfg = CodecConfig(width=w, height=h, quant=quant,
+                      transform=Transform.CDF53 if quant == 0 else Transform.CDF97,
+                      levels=3)
+    mesh = make_grid_mesh(2, 4)
+    streams = tiling.encode_image_tiled_global(x, cfg, mesh)
+    assert len(streams) == 2 * 8
+    out = tiling.decode_image_tiled_global(streams, cfg, mesh)
+    a, b = image_codec.encode_plane_bytes(x, cfg, chroma=False)
+    ref = image_codec.decode_plane_bytes(a, b, cfg, chroma=False)
+    np.testing.assert_array_equal(out, ref)
+    if quant == 0:
+        np.testing.assert_array_equal(out, x)
+
+
+@needs_8
+def test_tiled_global_arbitrary_size_lossless(rng):
+    """Non-divisible dims: internal edge padding encodes, decode crops it
+    away; lossless round-trip stays bit-exact (VERDICT item 4)."""
+    from ric_tpu.parallel.mesh import make_grid_mesh
+
+    h, w = 109, 223  # primes — divisible by nothing
+    x = _img(rng, h, w)
+    cfg = CodecConfig(width=w, height=h, quant=0,
+                      transform=Transform.CDF53, levels=3)
+    mesh = make_grid_mesh(2, 4)
+    streams, pcfg = tiling.encode_image_tiled_global_any(x, cfg, mesh)
+    assert pcfg.width % (4 * 4 * 2**3) == 0
+    out = tiling.decode_image_tiled_global_any(streams, cfg, pcfg, mesh)
+    assert out.shape == (h, w)
+    np.testing.assert_array_equal(out, x)

@@ -54,6 +54,28 @@ def test_pframes_beat_intra_coding(rng):
     assert len(inter) < 0.85 * len(intra), (len(inter), len(intra))
 
 
+def test_video_color_roundtrip_quality(rng):
+    """Color video: all three YCoCg planes coded per frame
+    (reference rududucodec.cpp:67-76)."""
+    g = _video(rng, 4, 64, 64)
+    frames = np.stack(
+        [g, np.roll(g, 7, axis=2), 255 - g], axis=-1
+    ).astype(np.uint8)
+    data = video_codec.encode_video(frames, quant=6, gop=3)
+    out = video_codec.decode_video(data)
+    assert out.shape == frames.shape
+    for t in range(4):
+        p = psnr(out[t], frames[t])
+        assert p > 30, f"frame {t}: {p:.2f} dB"
+
+
+def test_video_lossless_gray(rng):
+    frames = _video(rng, 3, 64, 64)
+    data = video_codec.encode_video(frames, quant=0, gop=2)
+    out = video_codec.decode_video(data)
+    np.testing.assert_array_equal(out, frames)
+
+
 def test_mv_roundtrip(rng):
     import jax.numpy as jnp
 

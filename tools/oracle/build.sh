@@ -11,5 +11,7 @@ g++ -O2 -fPIC -shared -fpermissive -w \
     "$REF"/wavelet2d.cpp "$REF"/band.cpp "$REF"/bandcodec.cpp \
     "$REF"/muxcodec.cpp "$REF"/bitcodec.cpp "$REF"/geomcodec.cpp \
     "$REF"/huffcodec.cpp \
+    "$REF"/rududucodec.cpp "$REF"/image.cpp "$REF"/imagebuffer.cpp \
+    "$REF"/obmc.cpp "$REF"/obme.cpp "$REF"/dct2d.cpp \
     -o "$OUT/oracle.so"
 echo "built $OUT/oracle.so"

@@ -74,3 +74,60 @@ def decode(stream: bytes, w: int, h: int, levels: int, level_chg: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
     )
     return out.reshape(h, w)
+
+
+class VideoOracle:
+    """Reference CRududuCodec driver (rududucodec.cpp) for video parity.
+
+    Frames: (H, W, 3) uint8 RGB. Reconstructions come back as (3, H, W)
+    int16 YCoCg planes in the reference's working domain (Y<<4 with -128
+    offset, Co/Cg<<3 — image.cpp inputSGI), directly comparable with our
+    video codec's internal planes.
+    """
+
+    def __init__(self, w: int, h: int, mode: str, quant: int):
+        l = lib()
+        l.oracle_video_create.restype = ctypes.c_void_p
+        l.oracle_video_encode.restype = ctypes.c_int
+        l.oracle_video_decode.restype = ctypes.c_int
+        self._l = l
+        self.w, self.h = w, h
+        self._p = l.oracle_video_create(
+            w, h, 0 if mode == "encode" else 1, quant)
+
+    @staticmethod
+    def to_sgi(frame_rgb: np.ndarray) -> np.ndarray:
+        """(H, W, 3) RGB -> SGI planar bottom-up bytes (R, G, B planes)."""
+        planes = frame_rgb.transpose(2, 0, 1)[:, ::-1, :]  # bottom-up rows
+        return np.ascontiguousarray(planes, np.uint8)
+
+    def encode(self, frame_rgb: np.ndarray):
+        sgi = self.to_sgi(frame_rgb)
+        stream = np.empty(self.w * self.h * 8 + 4096, np.uint8)
+        recon = np.empty((3, self.h, self.w), np.int16)
+        n = self._l.oracle_video_encode(
+            ctypes.c_void_p(self._p),
+            sgi.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            self.w, self.h,
+            stream.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            recon.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        )
+        # n is the logical size (endCoding - buf - 2, rududucodec.cpp:118);
+        # the decoder reads from buf[0] and reads ahead, so keep slack
+        return stream[: n + 64].tobytes(), n, recon
+
+    def decode(self, stream: bytes):
+        buf = np.frombuffer(stream, np.uint8)
+        recon = np.empty((3, self.h, self.w), np.int16)
+        self._l.oracle_video_decode(
+            ctypes.c_void_p(self._p),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            self.w, self.h,
+            recon.ctypes.data_as(ctypes.POINTER(ctypes.c_short)),
+        )
+        return recon
+
+    def close(self):
+        if self._p:
+            self._l.oracle_video_destroy(ctypes.c_void_p(self._p))
+            self._p = None

@@ -1,13 +1,14 @@
-"""Video round-trip harness — equivalent of reference utils/testmotion.cpp.
+"""Video parity harness — equivalent of reference utils/testmotion.cpp,
+extended to print ours-vs-reference size + PSNR per frame (the reference
+codec is driven through the compiled oracle's CRududuCodec surface).
 
-Reads raw 8-bit grayscale frames from a file (or generates synthetic pans),
-encodes the sequence, decodes it, and prints per-frame encoded size and
-PSNR — the reference prints encoder-side and decoder-side PSNR per frame
-(testmotion.cpp:42-64); here encoder reconstruction IS the decoder output
-by construction, so one column suffices.
+Both codecs see the same RGB frames; PSNR is computed per YCoCg plane in
+the shared working domain (Y<<4 offset -128, Co/Cg<<3 — image.cpp
+inputSGI == our rgb_to_ycocg(x, 4)), encoder-side reconstruction vs
+source, exactly like testmotion.cpp:42-64 prints.
 
 Usage:
-  python tools/testmotion.py [WxH] [nframes] [quant] [raw_file]
+  python tools/testmotion.py [WxH] [nframes] [quant] [raw_rgb_file]
 """
 from __future__ import annotations
 
@@ -24,11 +25,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
-from ric_tpu.models import video_codec
-from ric_tpu.utils.metrics import psnr
+from ric_tpu.models import image_codec, video_codec
 
 
-def synthetic_video(n, h, w, seed=3):
+def synthetic_video(n, h, w, seed=3, color=True):
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (
@@ -39,8 +39,34 @@ def synthetic_video(n, h, w, seed=3):
     out = []
     for t in range(n):
         f = np.roll(base, (t, 2 * t), axis=(0, 1)) + rng.normal(0, 2, (h, w))
-        out.append(np.clip(f, 0, 255).astype(np.uint8))
+        g = np.clip(f, 0, 255).astype(np.uint8)
+        if color:
+            out.append(np.stack([g, np.roll(g, 5, 1), 255 - g], axis=-1))
+        else:
+            out.append(g)
     return np.stack(out)
+
+
+def plane_psnr(a, b):
+    """PSNR in the 12-bit working domain (reference image.cpp:248-265)."""
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = np.mean(d * d, axis=(-2, -1))
+    return 10 * np.log10((4095.0**2) / np.maximum(mse, 1e-12))
+
+
+def frame_sizes(data, n, channels):
+    """Per-frame payload sizes from our RTV1 v2 container."""
+    off = 21
+    nlen = 1 + 2 * channels
+    sizes = []
+    for _ in range(n):
+        lens = struct.unpack(
+            f"<{nlen}I", data[off + 1 : off + 1 + 4 * nlen])
+        off += 1 + 4 * nlen
+        for ln in lens:
+            off += ln + ((-ln) % 4)
+        sizes.append(sum(lens))
+    return sizes
 
 
 def main():
@@ -50,27 +76,58 @@ def main():
     quant = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     if len(sys.argv) > 4:
         raw = np.fromfile(sys.argv[4], np.uint8)
-        n = len(raw) // (w * h)
-        frames = raw[: n * w * h].reshape(n, h, w)
+        n = len(raw) // (w * h * 3)
+        frames = raw[: n * w * h * 3].reshape(n, h, w, 3)
     else:
         frames = synthetic_video(n, h, w)
 
+    # ours: full sequence encode + decode (fused device pipeline)
     data = video_codec.encode_video(frames, quant=quant)
     out = video_codec.decode_video(data)
+    our_sizes = frame_sizes(data, n, 3)
 
-    off = 20
-    total = 0
+    # reference via oracle. PSNR uses the DECODER-side reconstruction for
+    # both codecs: the reference's encoder-side in-loop recon differs from
+    # its decoder's (pruned blocks keep their quantized coeffs on the
+    # encoder side, bandcodec.cpp:528-537 vs the decoder's Clear()), so
+    # its P-frame chain drifts; ours is drift-free by construction.
+    from tools.oracle.oracle import VideoOracle
+
+    enc = VideoOracle(w, h, "encode", quant)
+    dec = VideoOracle(w, h, "decode", quant)
+    ref_sizes, ref_psnrs = [], []
     for t in range(n):
-        ftype, lmv, la, lb = struct.unpack("<BIII", data[off : off + 13])
-        off += 13 + lmv + ((-lmv) % 4) + la + ((-la) % 4) + lb + ((-lb) % 4)
-        sz = lmv + la + lb
-        total += sz
-        print(
-            f"frame {t:3d} {'I' if ftype == 0 else 'P'} {sz:7d} B  "
-            f"{psnr(out[t], frames[t]):6.2f} dB"
-        )
-    bpp = total * 8 / (n * w * h)
-    print(f"total {total} B  {bpp:.3f} bpp")
+        stream, sz, _ = enc.encode(frames[t])
+        recon = dec.decode(stream)
+        src = np.stack(image_codec.rgb_to_ycocg(
+            frames[t].astype(np.int32), 4))
+        # reference plane order is Y, Co, Cg; ours is Y, Cg, Co
+        ref = recon[[0, 2, 1]].astype(np.int32)
+        ref_sizes.append(sz)
+        ref_psnrs.append(plane_psnr(src, ref))
+    enc.close()
+    dec.close()
+
+    print("frame  type   ours(B)  ref(B)   ours Y/Cg/Co dB      "
+          "ref Y/Cg/Co dB")
+    tot_o = tot_r = 0
+    for t in range(n):
+        src = np.stack(image_codec.rgb_to_ycocg(
+            frames[t].astype(np.int32), 4))
+        ours = np.stack(image_codec.rgb_to_ycocg(
+            out[t].astype(np.int32), 4))
+        po = plane_psnr(src, ours)
+        pr = ref_psnrs[t]
+        tot_o += our_sizes[t]
+        tot_r += ref_sizes[t]
+        print(f"{t:4d} {'I' if t % video_codec.GOP_DEFAULT == 0 else 'P':>4}"
+              f" {our_sizes[t]:9d} {ref_sizes[t]:7d}   "
+              f"{po[0]:5.2f}/{po[1]:5.2f}/{po[2]:5.2f}   "
+              f"{pr[0]:5.2f}/{pr[1]:5.2f}/{pr[2]:5.2f}")
+    npx = n * w * h
+    print(f"total ours {tot_o} B ({tot_o * 8 / npx:.3f} bpp)  "
+          f"ref {tot_r} B ({tot_r * 8 / npx:.3f} bpp)  "
+          f"ratio {tot_o / max(tot_r, 1):.3f}")
 
 
 if __name__ == "__main__":
