@@ -51,6 +51,13 @@ def main(argv=None) -> int:
                     help="0:cdf97 1:cdf53 2:haar (default 1 if lossless)")
     ap.add_argument("-d", dest="dither", action="store_true")
     ap.add_argument("-l", dest="levels", type=int, default=5)
+    ap.add_argument("--tiles", default="",
+                    help="TXxTY tile grid (e.g. 4x2): single-device tiled "
+                         "encode for very large images")
+    ap.add_argument("--profile", default="rans",
+                    choices=("rans", "archival"),
+                    help="rans: parallel TPU profile; archival: serial "
+                         "adaptive range coder (max compression)")
     args = ap.parse_args(argv)
 
     from ric_tpu.config import CodecConfig, Transform
@@ -83,7 +90,11 @@ def main(argv=None) -> int:
         levels=args.levels,
         input_depth=16 if img.dtype.itemsize > 1 else 8,
     )
-    data = image_codec.encode_image(img, cfg)
+    if args.tiles:
+        tx, ty = (int(v) for v in args.tiles.lower().split("x"))
+        data = image_codec.encode_image_tiles(img, cfg, tiles=(tx, ty))
+    else:
+        data = image_codec.encode_image(img, cfg, profile=args.profile)
     out = args.outfile
     if not out:
         stem, _ = os.path.splitext(infile)

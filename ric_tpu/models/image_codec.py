@@ -393,11 +393,13 @@ def _hist_from_payload(payload, L_unused=None):
         act = act.ravel()
         c16 = jnp.arange(16, dtype=jnp.int32)
         an = jnp.arange(nsym, dtype=jnp.int32)
-        ohc = (ctx[:, None] == c16[None, :]).astype(jnp.float32)
-        ohs = (sym[:, None] == an[None, :]).astype(jnp.float32)
-        ohs = ohs * act.astype(jnp.float32)[:, None]
-        h = jnp.dot(ohc.T, ohs, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)
+        # both operands are 0/1 (exact in bf16); accumulation stays f32 via
+        # preferred_element_type, so DEFAULT precision is exact and runs at
+        # full MXU rate (HIGHEST would multi-pass for nothing)
+        ohc = (ctx[:, None] == c16[None, :]).astype(jnp.bfloat16)
+        ohs = (sym[:, None] == an[None, :]).astype(jnp.bfloat16)
+        ohs = ohs * act.astype(jnp.bfloat16)[:, None]
+        h = jnp.dot(ohc.T, ohs, preferred_element_type=jnp.float32)
         pad = tbl.ALPHABET - nsym
         if pad:
             h = jnp.pad(h, ((0, 0), (0, pad)))
@@ -467,9 +469,13 @@ def _encode_rows(plans, payload, tables, L: int):
 
 
 def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
-                        payload):
+                        payload, constrain=None):
     """Shared encoder tail: payload -> (wordsA, totalA, wordsB, totalB).
-    Stream B = [L x u32 lane states][u16 words packed 2-per-u32]."""
+    Stream B = [L x u32 lane states][u16 words packed 2-per-u32].
+
+    `constrain` (optional) applies a sharding constraint to the packed
+    (T, L) grid so the rANS scan partitions over the lane axis — the
+    tensor-style within-stage parallelism of parallel/lanes.py."""
     if image_tables:
         hist = _hist_from_payload(payload)
         freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
@@ -483,6 +489,8 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
         wordsA = jnp.zeros((capA,), jnp.uint32)
         totalA = jnp.int32(0)
     rows = _encode_rows(plans, payload, enc_tables, L)
+    if constrain is not None:
+        rows = constrain(rows)
     states, emit, words = rans.encode_packed(rows)
     stream, nw = rans.compact_words(emit, words, cap16)
     w16 = stream.reshape(-1, 2)
@@ -499,7 +507,7 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
     capA = _cap_words_a(cfg)
     cap16 = _cap_words16(plans, L)
     image_tables = _use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant))
+    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
 
     def encode_plane(x):
         payload = _plane_payload(cfg, plans, x)
@@ -749,7 +757,7 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     transform = Transform(cfg.transform)
     nlev = len(dims)
     image_tables = _use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant))
+    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
 
     def decode_plane(wordsA, states, stream16):
         coeffs = _streams_to_coeffs(
@@ -767,9 +775,9 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
 # --------------------------------------------------------------------------
 
 
-def _archival_seed(cfg: CodecConfig) -> np.ndarray:
+def _archival_seed(cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
     return np.frombuffer(
-        tbl.get_freqs(tbl.rate_bucket(cfg.quant)), np.int32
+        tbl.get_freqs(tbl.rate_bucket(cfg.quant), chroma), np.int32
     ).reshape(tbl.N_TABLES, tbl.ALPHABET)
 
 
@@ -806,7 +814,7 @@ def encode_plane_archival(x, cfg: CodecConfig, chroma: bool):
 
     plans, _ = make_plane_plans(cfg, chroma)
     bands = _cached_archival_front(cfg, chroma)(jnp.asarray(x, jnp.int32))
-    enc = native.SerialEncoder(_archival_seed(cfg))
+    enc = native.SerialEncoder(_archival_seed(cfg, chroma))
     for pay, p in zip(bands, plans):
         (z, ctx, z_act, k, sig, pva, pwa, pvb, pwb, s, sctx, act,
          parts) = pay
@@ -826,10 +834,10 @@ def encode_plane_archival(x, cfg: CodecConfig, chroma: bool):
 class ArchivalReader:
     """Serial-decoder-backed symbol reader (mirrors the jit scan flow)."""
 
-    def __init__(self, cfg: CodecConfig, streamB: bytes):
+    def __init__(self, cfg: CodecConfig, streamB: bytes, chroma: bool = False):
         from ric_tpu.utils import native
 
-        self.dec = native.SerialDecoder(_archival_seed(cfg), streamB)
+        self.dec = native.SerialDecoder(_archival_seed(cfg, chroma), streamB)
 
     def read_model(self, shape, tid, act):
         tid_b = jnp.broadcast_to(tid, shape)
@@ -853,7 +861,7 @@ def decode_plane_archival(streamA: bytes, streamB: bytes, cfg: CodecConfig,
     plans, dims = make_plane_plans(cfg, chroma)
     L = _lanes(cfg)
     nlev = len(dims)
-    reader = ArchivalReader(cfg, streamB)
+    reader = ArchivalReader(cfg, streamB, chroma)
     coeffs = _decode_bands(plans, L, None, None, None, nlev, reader=reader)
     reader.dec.close()
     pyr = _pyramid_from_coeffs(coeffs, nlev)
@@ -905,6 +913,28 @@ def ycocg_to_rgb(y, co, cg, shift: int):
     if shift > 0:
         out = jnp.clip(out, 0, 255)
     return out
+
+
+def ycocg_to_yv12(y, co, cg, offset: int = -128):
+    """Working-domain YCoCg planes (Y<<4 with `offset`, Co/Cg<<3) ->
+    (Y', V, U) 8-bit planes with 2x2-subsampled chroma — the reference's
+    fixed-point BT-ish matrix, CImage::outputYV12<char,false>
+    (image.cpp:148-188). H and W must be even. The reference stores the
+    result into chars without clamping; we clamp to [0, 255]."""
+    sh = 4  # 12 -> 8 bit
+    off = offset << 4
+    yp = ((440 * (y - off) + 82 * co + 76 * cg + (1 << (8 + sh)))
+          >> (9 + sh)) + 16
+
+    def sum4(p):
+        return (p[0::2, 0::2] + p[0::2, 1::2]
+                + p[1::2, 0::2] + p[1::2, 1::2])
+
+    co4, cg4 = sum4(co), sum4(cg)
+    u = ((-150 * co4 - 148 * cg4 + (1 << (9 + sh))) >> (10 + sh)) + 128
+    v = ((130 * co4 - 188 * cg4 + (1 << (9 + sh))) >> (10 + sh)) + 128
+    clip = lambda p: jnp.clip(p, 0, 255).astype(jnp.uint8)
+    return clip(yp), clip(v), clip(u)
 
 
 def words_to_bytes(words, total_bits: int) -> bytes:
@@ -1121,6 +1151,42 @@ def encode_image(img: np.ndarray, cfg: CodecConfig,
     return container.write_container(
         cfg, streams, archival=(profile == "archival")
     )
+
+
+def encode_image_tiles(img: np.ndarray, cfg: CodecConfig,
+                       tiles: tuple[int, int]) -> bytes:
+    """Single-device tiled encode: a host loop over a (tx, ty) tile grid,
+    all tiles sharing one compiled per-tile graph. This is how images past
+    the single-tile int32 stream ceiling (PlaneTooLarge; e.g. 16k x 16k)
+    encode on ONE chip; with a device mesh use
+    parallel.tiling.encode_image_tiled_container instead. The container is
+    the same mode-1 tiled format either way; decode_image routes it."""
+    tx, ty = tiles
+    img = np.asarray(img)
+    h, w = img.shape[:2]
+    tw, th = -(-w // tx), -(-h // ty)
+    if (tx * tw, ty * th) != (w, h):
+        pad = ((0, ty * th - h), (0, tx * tw - w)) + ((0, 0),) * (img.ndim - 2)
+        img = np.pad(img, pad, mode="edge")
+    tcfg = dataclasses.replace(cfg, width=tw, height=th)
+    streams = []
+    for j in range(ty):
+        for i in range(tx):
+            tile = img[j * th : (j + 1) * th, i * tw : (i + 1) * tw]
+            x32 = jnp.asarray(tile).astype(jnp.int32)
+            if cfg.channels == 3:
+                y, co, cg = rgb_to_ycocg(x32, 0 if cfg.lossless else SHIFT)
+                streams += list(encode_plane_bytes(y, tcfg, chroma=False))
+                streams += list(encode_plane_bytes(cg, tcfg, chroma=True))
+                streams += list(encode_plane_bytes(co, tcfg, chroma=True))
+            else:
+                mid = 1 << (cfg.input_depth - 1)
+                if cfg.lossless or cfg.input_depth != 8:
+                    x = x32 - mid
+                else:
+                    x = (x32 - mid) << SHIFT
+                streams += list(encode_plane_bytes(x, tcfg, chroma=False))
+    return container.write_container(cfg, streams, tiles=tiles)
 
 
 def decode_plane_streams(streams: list[bytes], cfg: CodecConfig,

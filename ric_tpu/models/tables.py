@@ -80,37 +80,43 @@ def rate_bucket(quant: int) -> int:
 
 @functools.lru_cache(maxsize=1)
 def _all_counts() -> np.ndarray:
+    """(2, N_BUCKETS, N_TABLES, ALPHABET): luma- and chroma-fitted sets.
+
+    Chroma planes see the +8 quant boost (C_Q_BOOST) and much sparser
+    residuals, so they get their own fitted tables per rate bucket —
+    still selected statically from config, zero per-stream header cost."""
     if os.path.exists(_NPZ):
         data = np.load(_NPZ)["counts"]
-        if data.ndim == 3 and data.shape[0] == N_BUCKETS:
+        if data.ndim == 4 and data.shape[:2] == (2, N_BUCKETS):
             return data
-        # legacy single-set file: broadcast
-        return np.broadcast_to(data, (N_BUCKETS,) + data.shape).copy()
+        if data.ndim == 3 and data.shape[0] == N_BUCKETS:
+            return np.broadcast_to(data, (2,) + data.shape).copy()
+        return np.broadcast_to(data, (2, N_BUCKETS) + data.shape).copy()
     return np.broadcast_to(
-        _prior_counts(), (N_BUCKETS, N_TABLES, ALPHABET)
+        _prior_counts(), (2, N_BUCKETS, N_TABLES, ALPHABET)
     ).copy()
 
 
-@functools.lru_cache(maxsize=N_BUCKETS)
-def get_freqs(bucket: int = 0) -> bytes:
+@functools.lru_cache(maxsize=2 * N_BUCKETS)
+def get_freqs(bucket: int = 0, chroma: bool = False) -> bytes:
     """Frequencies as a hashable bytes blob (for cache keys)."""
-    counts = _all_counts()[bucket]
+    counts = _all_counts()[1 if chroma else 0][bucket]
     freqs = rans.normalize_freqs(counts, _VALID)
     return freqs.astype(np.int32).tobytes()
 
 
-@functools.lru_cache(maxsize=N_BUCKETS)
-def get_tables(bucket: int = 0):
-    freqs = np.frombuffer(get_freqs(bucket), np.int32).reshape(
+@functools.lru_cache(maxsize=2 * N_BUCKETS)
+def get_tables(bucket: int = 0, chroma: bool = False):
+    freqs = np.frombuffer(get_freqs(bucket, chroma), np.int32).reshape(
         N_TABLES, ALPHABET
     )
     return rans.build_tables(freqs)
 
 
-@functools.lru_cache(maxsize=N_BUCKETS)
-def get_dense_tables(bucket: int = 0):
+@functools.lru_cache(maxsize=2 * N_BUCKETS)
+def get_dense_tables(bucket: int = 0, chroma: bool = False):
     """v2-engine dense (cum, comb) f32 rows for the gather-free scans."""
-    freqs = np.frombuffer(get_freqs(bucket), np.int32).reshape(
+    freqs = np.frombuffer(get_freqs(bucket, chroma), np.int32).reshape(
         N_TABLES, ALPHABET
     )
     return rans.enc_dec_tables(freqs)

@@ -252,6 +252,15 @@ def _frame_to_pixels(recon, channels: int):
     return np.asarray(out).astype(np.uint8)
 
 
+def frame_to_yv12(recon) -> bytes:
+    """Color recon planes -> one YV12 frame (Y then V then U planes, 2x2
+    chroma subsampling), like the reference testmotion output
+    (testmotion.cpp:61-62 via CImage::outputYV12)."""
+    y, v, u = image_codec.ycocg_to_yv12(recon[0], recon[2], recon[1])
+    return (np.asarray(y).tobytes() + np.asarray(v).tobytes()
+            + np.asarray(u).tobytes())
+
+
 def _parse_plane_streams(pairs, cfg: CodecConfig):
     """Per-plane (A, B) byte pairs -> stacked decoder input arrays."""
     L, capA, cap16 = _stream_caps(cfg)

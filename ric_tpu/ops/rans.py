@@ -102,10 +102,34 @@ def build_tables(freqs: np.ndarray):
 UNIFORM_BASE = 64  # tid >= UNIFORM_BASE + w  => raw w-bit uniform slot
 
 
+def _limbs(x, n):
+    """Split non-negative int32 (T, A) into n 8-bit limbs as bf16 tables.
+
+    bf16 holds integers < 256 exactly, and a one-hot row picks exactly ONE
+    table entry per output, so a DEFAULT-precision bf16 MXU matmul
+    (f32 accumulate) reconstructs each limb without any rounding — at full
+    MXU rate instead of Precision.HIGHEST's multi-pass emulation. (The
+    round-1 advisory about bf16 rounding applied to >8-bit table values
+    fed to the MXU directly; limbs stay below that bound by construction.)
+    """
+    return [
+        ((x >> (8 * i)) & 0xFF).astype(jnp.bfloat16) for i in range(n)
+    ]
+
+
+def _onehot_fetch(ohot_bf16, limbs):
+    """sum_i 256^i * (ohot @ limb_i), each product exact. Returns f32."""
+    out = None
+    for i, lm in enumerate(limbs):
+        part = jnp.dot(ohot_bf16, lm, preferred_element_type=jnp.float32)
+        out = part if out is None else out + part * jnp.float32(1 << (8 * i))
+    return out
+
+
 def enc_dec_tables(freq):
-    """freq: (n_tables, 32) int rows summing to M. Returns dense f32 rows
-    for the gather-free scan: cum (inclusive cumulative freqs) and comb
-    (freq + start * M, < 2^24 so exact in f32)."""
+    """freq: (n_tables, 32) int rows summing to M. Returns dense rows for
+    the gather-free scan: cum (inclusive cumulative freqs, 13 bits -> two
+    8-bit bf16 limbs) and comb (freq + start * M < 2^24 -> three limbs)."""
     freq = jnp.asarray(freq, jnp.int32)
     cum = jnp.cumsum(freq, axis=1)
     start = cum - freq
@@ -113,21 +137,21 @@ def enc_dec_tables(freq):
     return {
         "cum": cum.astype(jnp.float32),
         "comb": comb.astype(jnp.float32),
+        "cum_l": _limbs(cum, 2),
+        "comb_l": _limbs(comb, 3),
         "freq_i": freq,
         "start_i": start,
     }
 
 
 def model_rows(tables, tid):
-    """One-hot matmul row fetch: tid (L,) int32 -> (cum_rows, comb_rows)
-    each (L, 32) f32."""
+    """One-hot limb-matmul row fetch: tid (L,) int32 -> (cum_rows,
+    comb_rows) each (L, 32) f32, bit-exact (see _limbs)."""
     ntab = tables["cum"].shape[0]
     cols = jnp.arange(ntab, dtype=jnp.int32)
-    ohot = (tid[:, None] == cols[None, :]).astype(jnp.float32)
-    cum = jnp.dot(ohot, tables["cum"], precision=jax.lax.Precision.HIGHEST,
-                  preferred_element_type=jnp.float32)
-    comb = jnp.dot(ohot, tables["comb"], precision=jax.lax.Precision.HIGHEST,
-                   preferred_element_type=jnp.float32)
+    ohot = (tid[:, None] == cols[None, :]).astype(jnp.bfloat16)
+    cum = _onehot_fetch(ohot, tables["cum_l"])
+    comb = _onehot_fetch(ohot, tables["comb_l"])
     return cum, comb
 
 
@@ -202,10 +226,8 @@ def enc_pack_model(tables, sym, tid, act):
     Narrow one-hot over the table id keeps this off the gather path."""
     ntab = tables["cum"].shape[0]
     cols = jnp.arange(ntab, dtype=jnp.int32)
-    ohot = (tid[:, None] == cols[None, :]).astype(jnp.float32)
-    comb_rows = jnp.dot(ohot, tables["comb"],
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
+    ohot = (tid[:, None] == cols[None, :]).astype(jnp.bfloat16)
+    comb_rows = _onehot_fetch(ohot, tables["comb_l"])
     a32 = jnp.arange(32, dtype=jnp.int32)
     ohs = (jnp.clip(sym, 0, 31)[:, None] == a32[None, :]).astype(jnp.float32)
     both = jnp.sum(comb_rows * ohs, axis=1).astype(jnp.int32)

@@ -63,3 +63,21 @@ def test_lossy_quality(rng):
     cfg2 = CodecConfig(width=64, height=64, quant=20, transform=Transform.CDF97)
     data2 = image_codec.encode_image(img, cfg2)
     assert len(data2) < len(data)
+
+
+def test_host_loop_tiled_encode_roundtrip(rng):
+    """Single-device (no mesh) tiled container: host loop over a tile
+    grid, decoded back through decode_image's tiled routing."""
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+
+    h, w = 70, 150  # non-divisible by the 2x3 grid
+    img = np.clip(
+        128 + 40 * rng.standard_normal((h, w, 3)), 0, 255
+    ).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, channels=3, quant=0,
+                      transform=Transform.CDF53, levels=2)
+    data = image_codec.encode_image_tiles(img, cfg, tiles=(3, 2))
+    out = image_codec.decode_image(data)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out, img.astype(np.int32))

@@ -89,3 +89,25 @@ def test_mv_roundtrip(rng):
     sel = ~np.asarray(intra)
     np.testing.assert_array_equal(np.asarray(my)[sel], np.asarray(mvy)[sel])
     np.testing.assert_array_equal(np.asarray(mx)[sel], np.asarray(mvx)[sel])
+
+
+def test_yv12_output():
+    """YV12 conversion matches the reference's fixed-point matrix
+    (image.cpp:148-188) on hand-computed values."""
+    import jax.numpy as jnp
+
+    from ric_tpu.models import image_codec
+
+    # neutral gray 128: y = 0 (after -128 << 4), co = cg = 0
+    y = jnp.zeros((4, 4), jnp.int32)
+    co = jnp.zeros((4, 4), jnp.int32)
+    cg = jnp.zeros((4, 4), jnp.int32)
+    yp, v, u = image_codec.ycocg_to_yv12(y, co, cg)
+    # Y' = ((440 * 2048 + 2^12) >> 13) + 16 = 126
+    assert int(yp[0, 0]) == ((440 * 2048 + (1 << 12)) >> 13) + 16
+    assert int(u[0, 0]) == 128 and int(v[0, 0]) == 128
+    assert yp.shape == (4, 4) and u.shape == (2, 2) and v.shape == (2, 2)
+    # saturated red-ish chroma moves U and V in opposite directions
+    co2 = jnp.full((4, 4), 127 << 3, jnp.int32)
+    _, v2, u2 = image_codec.ycocg_to_yv12(y, co2, cg)
+    assert int(v2[0, 0]) > 128 and int(u2[0, 0]) < 128

@@ -49,33 +49,40 @@ def corpus(rng, h, w):
     return [np.clip(i, 0, 255).astype(np.uint8) for i in imgs]
 
 
-def natural_corpus(h, w):
+def natural_corpus(h, w, color=False):
     """Natural test images from corpus (tools' corpus prep), cropped
-    or tiled to (h, w) grayscale."""
+    or tiled to (h, w); grayscale PGMs or (with color=True) RGB PPMs."""
     import glob
 
     from ric_tpu.utils import pnm
 
     out = []
-    for path in sorted(glob.glob("corpus/*.pgm")):
+    pat = "corpus/*.ppm" if color else "corpus/*.pgm"
+    for path in sorted(glob.glob(pat)):
         img = pnm.read_pnm(path)
+        if color and img.ndim != 3:
+            continue
         ih, iw = img.shape[:2]
-        reps = (-(-h // ih), -(-w // iw))
+        reps = (-(-h // ih), -(-w // iw)) + ((1,) if img.ndim == 3 else ())
         img = np.tile(img, reps)[:h, :w]
         out.append(img)
     return out
 
 
+# representative quants per rate bucket
+BUCKET_QUANTS = {0: (0,), 1: (4, 6), 2: (9, 12), 3: (16, 20, 24)}
+
+
 def main():
     out = sys.argv[1] if len(sys.argv) > 1 else "ric_tpu/models/tables.npz"
     rng = np.random.default_rng(42)
-    hists = np.zeros((tbl.N_BUCKETS, tbl.N_TABLES, tbl.ALPHABET), np.float64)
+    # (2, buckets, tables, alphabet): [0] luma/gray stats, [1] chroma
+    hists = np.zeros(
+        (2, tbl.N_BUCKETS, tbl.N_TABLES, tbl.ALPHABET), np.float64)
     h = w = 512
     imgs = corpus(rng, h, w) + natural_corpus(h, w)
-    # representative quants per rate bucket
-    bucket_quants = {0: (0,), 1: (4, 6), 2: (9, 12), 3: (16, 20, 24)}
     for img in imgs:
-        for bucket, quants in bucket_quants.items():
+        for bucket, quants in BUCKET_QUANTS.items():
             for quant in quants:
                 trans = Transform.CDF53 if quant == 0 else Transform.CDF97
                 cfg = CodecConfig(width=w, height=h, quant=quant,
@@ -86,8 +93,24 @@ def main():
                 else:
                     x = (img.astype(np.int32) - 128) << SHIFT
                 hcounts, rawbits, _diag = fn(jnp.asarray(x, jnp.int32))
-                hists[bucket] += np.asarray(hcounts, np.float64)
-        print(f"image done; total syms {hists.sum():.3e}", flush=True)
+                hists[0, bucket] += np.asarray(hcounts, np.float64)
+        print(f"luma image done; total syms {hists.sum():.3e}", flush=True)
+    # chroma stats: Cg/Co planes of the color corpus under the chroma
+    # quant boost (C_Q_BOOST) — these are far sparser than luma
+    for img in natural_corpus(h, w, color=True):
+        x32 = jnp.asarray(img, jnp.int32)
+        for bucket, quants in BUCKET_QUANTS.items():
+            for quant in quants:
+                trans = Transform.CDF53 if quant == 0 else Transform.CDF97
+                cfg = CodecConfig(width=w, height=h, quant=quant,
+                                  transform=trans, channels=3)
+                fn = image_codec.build_plane_stats(cfg, True)
+                y, co, cg = image_codec.rgb_to_ycocg(
+                    x32, 0 if quant == 0 else SHIFT)
+                for plane in (cg, co):
+                    hcounts, rawbits, _diag = fn(plane)
+                    hists[1, bucket] += np.asarray(hcounts, np.float64)
+        print(f"chroma image done; total syms {hists.sum():.3e}", flush=True)
     np.savez(out, counts=hists)
     print(f"wrote {out}")
 
