@@ -58,6 +58,9 @@ def main(argv=None) -> int:
                     choices=("rans", "archival"),
                     help="rans: parallel TPU profile; archival: serial "
                          "adaptive range coder (max compression)")
+    ap.add_argument("--lanes", type=int, default=-1,
+                    help="log2 rANS lane count (speed/rate knob; "
+                         "default: rate-aware auto)")
     args = ap.parse_args(argv)
 
     from ric_tpu.config import CodecConfig, Transform
@@ -89,6 +92,7 @@ def main(argv=None) -> int:
         quant=max(0, min(args.quant, 31)), transform=Transform(trans),
         levels=args.levels,
         input_depth=16 if img.dtype.itemsize > 1 else 8,
+        lanes_log2=args.lanes,
     )
     if args.tiles:
         tx, ty = (int(v) for v in args.tiles.lower().split("x"))

@@ -72,6 +72,12 @@ class CodecConfig:
     q_step: int = -1
     lam_step: int = -1
 
+    # rANS lane count override (log2). -1 = auto: a rate-aware budget
+    # (models/image_codec._lanes). More lanes = fewer scan steps = faster
+    # decode, at 4 bytes/lane of stream flush; the value is recorded in
+    # the container so both sides always agree.
+    lanes_log2: int = -1
+
     @property
     def lossless(self) -> bool:
         return self.quant == 0 and self.q_step <= 0

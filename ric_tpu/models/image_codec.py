@@ -138,6 +138,8 @@ def _lanes(cfg: CodecConfig) -> int:
     expected stream (npix * bucket-estimated bpp), so small or coarsely
     quantized images get narrower grids. Pure function of cfg — encoder
     and decoder derive the same value, nothing extra in the container."""
+    if cfg.lanes_log2 >= 0:
+        return 1 << cfg.lanes_log2
     npix = cfg.width * cfg.height
     bucket = 3 if cfg.q_step >= 256 else tbl.rate_bucket(cfg.quant)
     est_bytes = npix * _BPP_EST[bucket] / 8
@@ -148,7 +150,14 @@ def _lanes(cfg: CodecConfig) -> int:
 
 def _use_image_tables(cfg: CodecConfig) -> bool:
     """Two-pass per-image rANS tables: worth their ~1.6 KB stream cost for
-    big enough streams. Static rule, both sides agree."""
+    big enough streams. Static rule, both sides agree.
+
+    (Measured alternative: per-band table EVOLUTION — both sides deriving
+    tables from already-decoded symbols, no table section at all — was
+    tried and codes hopper q0 at 4.668 bpp shared / 4.772 per-orient-chain
+    vs 4.631 for these transmitted per-image tables: band statistics shift
+    too much across levels for cross-band adaptation to pay. The reference
+    adapts WITHIN bands serially, which a parallel decoder cannot.)"""
     return (
         cfg.width * cfg.height >= (1 << 18)
         and tbl.rate_bucket(cfg.quant) <= 2
@@ -383,50 +392,58 @@ def _plane_payload(cfg: CodecConfig, plans, x):
     return _payload_from_pyramid(plans, pyr)
 
 
-def _hist_from_payload(payload, L_unused=None):
-    """Model-slot histograms via narrow one-hot matmuls (gather-free)."""
+def _hist_acc(hist, base, ctx, sym, act, nsym):
+    """Accumulate (ctx, sym) counts into hist rows [base, base+16)."""
+    ctx = ctx.ravel()
+    sym = jnp.clip(sym.ravel(), 0, nsym - 1)
+    act = act.ravel()
+    c16 = jnp.arange(16, dtype=jnp.int32)
+    an = jnp.arange(nsym, dtype=jnp.int32)
+    # both operands are 0/1 (exact in bf16); accumulation stays f32 via
+    # preferred_element_type, so DEFAULT precision is exact and runs at
+    # full MXU rate (HIGHEST would multi-pass for nothing)
+    ohc = (ctx[:, None] == c16[None, :]).astype(jnp.bfloat16)
+    ohs = (sym[:, None] == an[None, :]).astype(jnp.bfloat16)
+    ohs = ohs * act.astype(jnp.bfloat16)[:, None]
+    h = jnp.dot(ohc.T, ohs, preferred_element_type=jnp.float32)
+    pad = tbl.ALPHABET - nsym
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad)))
+    return jax.lax.dynamic_update_slice(
+        hist, jax.lax.dynamic_slice(hist, (base, 0), (16, tbl.ALPHABET))
+        + h, (base, 0))
+
+
+def _band_hist(pay):
+    """One band's model-symbol histogram (the encoder-side twin of the
+    decoder's in-loop count update — both sides must produce identical
+    integers for the adaptive table evolution)."""
+    p = pay["plan"]
     hist = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.float32)
-
-    def acc(hist, base, ctx, sym, act, nsym):
-        ctx = ctx.ravel()
-        sym = jnp.clip(sym.ravel(), 0, nsym - 1)
-        act = act.ravel()
-        c16 = jnp.arange(16, dtype=jnp.int32)
-        an = jnp.arange(nsym, dtype=jnp.int32)
-        # both operands are 0/1 (exact in bf16); accumulation stays f32 via
-        # preferred_element_type, so DEFAULT precision is exact and runs at
-        # full MXU rate (HIGHEST would multi-pass for nothing)
-        ohc = (ctx[:, None] == c16[None, :]).astype(jnp.bfloat16)
-        ohs = (sym[:, None] == an[None, :]).astype(jnp.bfloat16)
-        ohs = ohs * act.astype(jnp.bfloat16)[:, None]
-        h = jnp.dot(ohc.T, ohs, preferred_element_type=jnp.float32)
-        pad = tbl.ALPHABET - nsym
-        if pad:
-            h = jnp.pad(h, ((0, 0), (0, pad)))
-        return jax.lax.dynamic_update_slice(
-            hist, jax.lax.dynamic_slice(hist, (base, 0), (16, tbl.ALPHABET))
-            + h, (base, 0))
-
-    for pay in payload:
-        p = pay["plan"]
-        if p.kind != "ll":
-            hist = acc(hist, tbl.Z_BASE, pay["ctx"], pay["z"],
-                       pay["z_act"], 2)
-        if p.kind == "high":
-            hist = acc(hist, tbl.KH_BASE, pay["ctx"], pay["k"] - 1,
-                       pay["sig"], 16)
-        else:
-            hist = acc(hist, tbl.KL_BASE, pay["ctx"], pay["k"],
-                       pay["sig"], 17)
-        sctx = pay["sctx"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
-        hist = acc(hist, tbl.S_BASE, sctx, pay["s"], pay["active"], 32)
+    if p.kind != "ll":
+        hist = _hist_acc(hist, tbl.Z_BASE, pay["ctx"], pay["z"],
+                         pay["z_act"], 2)
+    if p.kind == "high":
+        hist = _hist_acc(hist, tbl.KH_BASE, pay["ctx"], pay["k"] - 1,
+                         pay["sig"], 16)
+    else:
+        hist = _hist_acc(hist, tbl.KL_BASE, pay["ctx"], pay["k"],
+                         pay["sig"], 17)
+    sctx = pay["sctx"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
+    hist = _hist_acc(hist, tbl.S_BASE, sctx, pay["s"], pay["active"], 32)
     return hist.astype(jnp.int32)
 
 
-def _encode_rows(plans, payload, tables, L: int):
-    """Build the full packed (rows, L) grid in decoder consumption order."""
-    all_rows = []
+def _hist_from_payload(payload, L_unused=None):
+    """Whole-plane model-slot histograms (table fitting / stats tools)."""
+    hist = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
+    for pay in payload:
+        hist = hist + _band_hist(pay)
+    return hist
 
+
+def _band_rows(pay, tables, L: int):
+    """One band's packed (rows, L) grid in decoder consumption order."""
     def grid(a, fill=0):
         return rans.to_grid(a.ravel(), L, fill)
 
@@ -434,38 +451,43 @@ def _encode_rows(plans, payload, tables, L: int):
         T = gs[0].shape[0]
         return jnp.stack(gs, axis=1).reshape(T * len(gs), L)
 
-    for pay in payload:
-        p = pay["plan"]
-        ctx, k = pay["ctx"].ravel(), pay["k"].ravel()
-        # ZK
-        pk_z = rans.enc_pack_model(
-            tables, pay["z"].ravel(), tbl.Z_BASE + ctx, pay["z_act"].ravel())
-        if p.kind == "high":
-            pk_k = rans.enc_pack_model(
-                tables, k - 1, tbl.KH_BASE + ctx, pay["sig"].ravel())
-        else:
-            pk_k = rans.enc_pack_model(
-                tables, k, tbl.KL_BASE + ctx, pay["sig"].ravel())
-        all_rows.append(interleave([grid(pk_z), grid(pk_k)]))
-        # PAT
-        sig = pay["sig"].ravel()
-        pk_a = rans.enc_pack_uniform(
-            pay["pat_va"].ravel(), pay["pat_wa"].ravel(), sig)
-        pk_b = rans.enc_pack_uniform(
-            pay["pat_vb"].ravel(), pay["pat_wb"].ravel(), sig)
-        all_rows.append(interleave([grid(pk_a), grid(pk_b)]))
-        # SREF
-        act = pay["active"].ravel()
-        sctx = (pay["sctx"][..., None]
-                * jnp.ones((1, 1, 16), jnp.int32)).ravel()
-        pk_s = rans.enc_pack_model(
-            tables, pay["s"].ravel(), tbl.S_BASE + sctx, act)
-        parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
-                           _ref_phases(p))
-        pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
-        all_rows.append(interleave([grid(pk_s)] + [grid(x) for x in pk_ref]))
+    p = pay["plan"]
+    ctx, k = pay["ctx"].ravel(), pay["k"].ravel()
+    rows = []
+    # ZK
+    pk_z = rans.enc_pack_model(
+        tables, pay["z"].ravel(), tbl.Z_BASE + ctx, pay["z_act"].ravel())
+    if p.kind == "high":
+        pk_k = rans.enc_pack_model(
+            tables, k - 1, tbl.KH_BASE + ctx, pay["sig"].ravel())
+    else:
+        pk_k = rans.enc_pack_model(
+            tables, k, tbl.KL_BASE + ctx, pay["sig"].ravel())
+    rows.append(interleave([grid(pk_z), grid(pk_k)]))
+    # PAT
+    sig = pay["sig"].ravel()
+    pk_a = rans.enc_pack_uniform(
+        pay["pat_va"].ravel(), pay["pat_wa"].ravel(), sig)
+    pk_b = rans.enc_pack_uniform(
+        pay["pat_vb"].ravel(), pay["pat_wb"].ravel(), sig)
+    rows.append(interleave([grid(pk_a), grid(pk_b)]))
+    # SREF
+    act = pay["active"].ravel()
+    sctx = (pay["sctx"][..., None]
+            * jnp.ones((1, 1, 16), jnp.int32)).ravel()
+    pk_s = rans.enc_pack_model(
+        tables, pay["s"].ravel(), tbl.S_BASE + sctx, act)
+    parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
+                       _ref_phases(p))
+    pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
+    rows.append(interleave([grid(pk_s)] + [grid(x) for x in pk_ref]))
+    return jnp.concatenate(rows, axis=0)
 
-    return jnp.concatenate(all_rows, axis=0)
+
+def _encode_rows(plans, payload, tables, L: int):
+    """Full packed (rows, L) grid in decoder consumption order."""
+    return jnp.concatenate(
+        [_band_rows(pay, tables, L) for pay in payload], axis=0)
 
 
 def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,

@@ -117,25 +117,23 @@ def _gather_patches(bank, mvy, mvx, psize: int, stride: int, off: int):
     ]
 
 
-def obmc_predict(bank, mvy, mvx, intra, height: int, width: int):
-    """Overlapped-block prediction. mvy/mvx: (gy, gx) quarter-pel ints with
-    grid stride 8; intra: (gy, gx) bool. Returns (height, width) int32."""
-    gy, gx = mvy.shape
-    # replicate-pad the grid by one node on each side
-    def pad_grid(a, mode_val=None):
+def _obmc_wpatch(bank, mvy, mvx, skip):
+    """Weighted 16x16 windows for each (padded) grid node; `skip` nodes
+    contribute zero."""
+    def pad_grid(a):
         return jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
 
     mvy_p, mvx_p = pad_grid(mvy), pad_grid(mvx)
-    intra_p = pad_grid(intra)
-    mvy_p = jnp.where(intra_p, 0, mvy_p)
-    mvx_p = jnp.where(intra_p, 0, mvx_p)
+    skip_p = pad_grid(skip)
+    mvy_p = jnp.where(skip_p, 0, mvy_p)
+    mvx_p = jnp.where(skip_p, 0, mvx_p)
     patches = _gather_patches(bank, mvy_p, mvx_p, 16, 8, -12)
-    patches = jnp.where(intra_p[..., None, None], 0, patches)
-    wgt = jnp.asarray(W16)
-    wpatch = patches * wgt  # (gy+2, gx+2, 16, 16)
+    patches = jnp.where(skip_p[..., None, None], 0, patches)
+    return patches * jnp.asarray(W16)  # (gy+2, gx+2, 16, 16)
 
-    # accumulate: out 8x8 block (J, I) (block grid (gy+1) x (gx+1) covering
-    # the padded window lattice) = sum of 4 node quadrants
+
+def _obmc_normalize(wpatch, gy, gx, height, width):
+    """Quadrant-add accumulation + /16 rounding of the window lattice."""
     q = wpatch.reshape(gy + 2, gx + 2, 2, 8, 2, 8).transpose(0, 2, 1, 4, 3, 5)
     # q[j, a, i, b]: quadrant (a, b) of node (j, i)
     acc = (
@@ -145,6 +143,14 @@ def obmc_predict(bank, mvy, mvx, intra, height: int, width: int):
     out = (out + 8) >> 4
     # padded lattice starts at pixel -4
     return out[4 : 4 + height, 4 : 4 + width]
+
+
+def obmc_predict(bank, mvy, mvx, intra, height: int, width: int):
+    """Overlapped-block prediction. mvy/mvx: (gy, gx) quarter-pel ints with
+    grid stride 8; intra: (gy, gx) bool. Returns (height, width) int32."""
+    gy, gx = mvy.shape
+    wpatch = _obmc_wpatch(bank, mvy, mvx, intra)
+    return _obmc_normalize(wpatch, gy, gx, height, width)
 
 
 # --------------------------------------------------------------------------
@@ -177,12 +183,10 @@ def _sad_qpel(cur_blocks, bank, mvy, mvx):
 _DIAMOND = [(0, 1), (0, -1), (1, 0), (-1, 0)]
 
 
-def motion_search(cur, ref, bank, prev_mvy=None, prev_mvx=None,
-                  steps=(8, 4, 2, 1, 1, 1), intra_thres: int = INTRA_THRES):
-    """Batched iterative motion search. cur/ref: (H, W) int32 (H, W % 8 == 0).
-
-    Returns (mvy, mvx, intra): quarter-pel MVs (gy, gx) and intra mask.
-    """
+def motion_search_sad(cur, ref, bank, prev_mvy=None, prev_mvx=None,
+                      steps=(8, 4, 2, 1, 1, 1)):
+    """Like motion_search but also returns the best quarter-pel SAD map
+    (used by multi-reference selection)."""
     h, w = cur.shape
     gy, gx = h // 8, w // 8
     cur_blocks = cur.reshape(gy, 8, gx, 8).transpose(0, 2, 1, 3)
@@ -225,5 +229,54 @@ def motion_search(cur, ref, bank, prev_mvy=None, prev_mvx=None,
             mvy = jnp.where(better, cy, mvy)
             mvx = jnp.where(better, cx, mvx)
 
-    intra = best >= intra_thres
-    return mvy, mvx, intra
+    return mvy, mvx, best
+
+
+def motion_search(cur, ref, bank, prev_mvy=None, prev_mvx=None,
+                  steps=(8, 4, 2, 1, 1, 1), intra_thres: int = INTRA_THRES):
+    """Batched iterative motion search. cur/ref: (H, W) int32 (H, W % 8 == 0).
+
+    Returns (mvy, mvx, intra): quarter-pel MVs (gy, gx) and intra mask.
+    """
+    mvy, mvx, best = motion_search_sad(cur, ref, bank, prev_mvy, prev_mvx,
+                                       steps)
+    return mvy, mvx, best >= intra_thres
+
+
+def motion_search_multi(cur, refs, banks, intra_thres: int = INTRA_THRES):
+    """Multi-reference search over a ring of R recon frames (the reference
+    CImageBuffer keeps such a ring and COBME carries per-block `ref`
+    fields, imagebuffer.h:28, obme.h:30 — never driven past R=1 there).
+
+    refs: (R, H, W); banks: (R, 4, 4, H, W). Returns (mvy, mvx, refidx,
+    intra): per 8x8 block the best (vector, reference) pair by SAD.
+    """
+    R = refs.shape[0]
+    mvy = mvx = refidx = best = None
+    for r in range(R):
+        my, mx, b = motion_search_sad(cur, refs[r], banks[r])
+        if best is None:
+            mvy, mvx, best = my, mx, b
+            refidx = jnp.zeros(my.shape, jnp.int32)
+        else:
+            better = b < best
+            mvy = jnp.where(better, my, mvy)
+            mvx = jnp.where(better, mx, mvx)
+            refidx = jnp.where(better, r, refidx)
+            best = jnp.where(better, b, best)
+    return mvy, mvx, refidx, best >= intra_thres
+
+
+def obmc_predict_multi(banks, mvy, mvx, refidx, intra, height: int,
+                       width: int):
+    """OBMC over a bank ring: each grid node samples the phase bank of its
+    selected reference frame; the window accumulation and the single /16
+    normalization happen after summing all refs' weighted patches (one
+    blend, identical rounding to single-ref). banks: (R, 4, 4, H, W)."""
+    R = banks.shape[0]
+    gy, gx = mvy.shape
+    wpatch = None
+    for r in range(R):
+        wp = _obmc_wpatch(banks[r], mvy, mvx, intra | (refidx != r))
+        wpatch = wp if wpatch is None else wpatch + wp
+    return _obmc_normalize(wpatch, gy, gx, height, width)

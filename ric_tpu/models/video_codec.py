@@ -72,11 +72,13 @@ def _frame_cfg(w: int, h: int, quant: int) -> CodecConfig:
 
 
 # Serial-coder model seeds: table 0 = intra flag (skewed to inter), table
-# 1/2 = size classes of the y/x gradient residuals (skewed to 0).
-_MV_SEED = np.zeros((3, 32), np.int32)
+# 1/2 = size classes of the y/x gradient residuals (skewed to 0), table 3
+# = reference index (skewed to the most recent frame).
+_MV_SEED = np.zeros((4, 32), np.int32)
 _MV_SEED[0, :2] = (230, 26)
 for _t in (1, 2):
     _MV_SEED[_t, :16] = np.maximum((256 * 0.5 ** np.arange(16)).astype(int), 1)
+_MV_SEED[3, :8] = np.maximum((256 * 0.35 ** np.arange(8)).astype(int), 1)
 
 
 def _mv_symbols(mvy, mvx, intra):
@@ -96,19 +98,24 @@ def _mv_symbols(mvy, mvx, intra):
     return syms, tids, rvals, rlens
 
 
-def encode_mv(mvy, mvx, intra) -> bytes:
-    """Adaptive serial range coding of (flags, size classes) via the native
-    C++ backend, refinement bits raw-packed; the two parts concatenate with
-    a u16 length prefix."""
+def encode_mv(mvy, mvx, intra, refidx=None) -> bytes:
+    """Adaptive serial range coding of (flags, size classes, ref indices)
+    via the native C++ backend, refinement bits raw-packed; the two parts
+    concatenate with a u16 length prefix."""
     from ric_tpu.utils import native
 
     n = intra.size
     syms, tids, rvals, rlens = _mv_symbols(mvy, mvx, intra)
+    acts = [np.ones(3 * n, np.uint8)]
+    if refidx is not None:
+        syms.append(jnp.where(intra, 0, refidx).ravel())
+        tids.append(jnp.full(n, 3, jnp.int32))
+        acts.append(np.asarray(~np.asarray(intra).ravel(), np.uint8))
     enc = native.SerialEncoder(_MV_SEED)
     enc.put(
         np.concatenate([np.asarray(s) for s in syms]),
         np.concatenate([np.asarray(t) for t in tids]),
-        np.ones(3 * n, np.uint8),
+        np.concatenate(acts),
     )
     rc = enc.finish()
     words, total = bitpack.pack(
@@ -118,7 +125,7 @@ def encode_mv(mvy, mvx, intra) -> bytes:
     return struct.pack("<I", len(rc)) + rc + raw
 
 
-def decode_mv(data: bytes, gy: int, gx: int):
+def decode_mv(data: bytes, gy: int, gx: int, n_refs: int = 1):
     from ric_tpu.utils import native
 
     n = gy * gx
@@ -129,6 +136,10 @@ def decode_mv(data: bytes, gy: int, gx: int):
     intra = dec.get(np.zeros(n, np.int32), np.ones(n, np.uint8))
     sy = dec.get(np.full(n, 1, np.int32), np.ones(n, np.uint8))
     sx = dec.get(np.full(n, 2, np.int32), np.ones(n, np.uint8))
+    refidx = np.zeros(n, np.int32)
+    if n_refs > 1:
+        refidx = dec.get(np.full(n, 3, np.int32),
+                         (intra == 0).astype(np.uint8))
     dec.close()
     words = jnp.asarray(image_codec.bytes_to_words(raw, (n * 30) // 32 + 4))
     base = jnp.int32(0)
@@ -144,7 +155,8 @@ def decode_mv(data: bytes, gy: int, gx: int):
         )
         comps.append(image_codec._cumsum2d(u2s_(u).reshape(gy, gx)))
     mvy, mvx = comps
-    return mvy, mvx, jnp.asarray(intra.reshape(gy, gx) == 1)
+    return (mvy, mvx, jnp.asarray(intra.reshape(gy, gx) == 1),
+            jnp.asarray(refidx.reshape(gy, gx)))
 
 
 # --------------------------------------------------------------------------
@@ -178,19 +190,22 @@ def _make_rewire(L: int, cap16: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _frame_fns(w: int, h: int, quant: int, channels: int):
+def _frame_fns(w: int, h: int, quant: int, channels: int, n_refs: int = 1):
     """Jitted per-frame device graphs: (key_enc, p_enc, key_dec, p_dec).
 
-    Encode fns return per-plane stream stacks plus the in-loop
-    reconstruction; decode fns mirror them from parsed stream arrays.
-    Planes: (C, H, W) working-domain int32 (YCoCg<<4 or gray<<4).
+    Encode fns return per-plane stream stacks plus the updated
+    reconstruction ring; decode fns mirror them from parsed stream arrays.
+    Planes: (C, H, W) working-domain int32 (YCoCg<<4 or gray<<4); the
+    recon ring is (R, C, H, W), newest frame first (the CImageBuffer
+    multi-frame ring, imagebuffer.h:28 — with per-block reference
+    selection when R > 1).
     """
     cfg = _frame_cfg(w, h, quant)
     enc = image_codec.build_encode_plane(cfg, chroma=False)
     dec = image_codec.build_decode_plane(cfg, chroma=False)
     L, capA, cap16 = _stream_caps(cfg)
     rewire = _make_rewire(L, cap16)
-    C = channels
+    C, R = channels, n_refs
 
     def _enc_recon(x):
         """Encode planes and decode them back in-graph (in-loop recon)."""
@@ -205,31 +220,43 @@ def _frame_fns(w: int, h: int, quant: int, channels: int):
         tBs = jnp.stack([o[3] for o in outs])
         return wAs, tAs, wBs, tBs, jnp.stack(recs)
 
-    def key_enc(x):
-        return _enc_recon(x)
+    def _push(ring, recon):
+        return jnp.concatenate([recon[None], ring[:-1]], axis=0)
 
-    def _predict(recon_prev, mvy, mvx, intra):
+    def key_enc(x):
+        wAs, tAs, wBs, tBs, recon = _enc_recon(x)
+        # a key frame resets the ring: every slot holds the key recon
+        ring = jnp.broadcast_to(recon[None], (R,) + recon.shape)
+        return wAs, tAs, wBs, tBs, ring
+
+    def _predict(ring, mvy, mvx, refidx, intra):
         preds = []
         for c in range(C):
-            bank = video.subpel_bank(recon_prev[c])
-            preds.append(video.obmc_predict(bank, mvy, mvx, intra, h, w))
+            banks = jnp.stack(
+                [video.subpel_bank(ring[r, c]) for r in range(R)])
+            preds.append(video.obmc_predict_multi(
+                banks, mvy, mvx, refidx, intra, h, w))
         return jnp.stack(preds)
 
-    def p_enc(x, recon_prev):
-        banky = video.subpel_bank(recon_prev[0])
-        mvy, mvx, intra = video.motion_search(x[0], recon_prev[0], banky)
-        pred = _predict(recon_prev, mvy, mvx, intra)
+    def p_enc(x, ring):
+        banks_y = jnp.stack(
+            [video.subpel_bank(ring[r, 0]) for r in range(R)])
+        mvy, mvx, refidx, intra = video.motion_search_multi(
+            x[0], ring[:, 0], banks_y)
+        pred = _predict(ring, mvy, mvx, refidx, intra)
         wAs, tAs, wBs, tBs, res_rec = _enc_recon(x - pred)
-        recon = pred + res_rec
-        return wAs, tAs, wBs, tBs, recon, mvy, mvx, intra
+        ring = _push(ring, pred + res_rec)
+        return wAs, tAs, wBs, tBs, ring, mvy, mvx, refidx, intra
 
     def key_dec(wAs, states, s16s):
-        return jnp.stack([dec(wAs[c], states[c], s16s[c]) for c in range(C)])
+        recon = jnp.stack(
+            [dec(wAs[c], states[c], s16s[c]) for c in range(C)])
+        return jnp.broadcast_to(recon[None], (R,) + recon.shape)
 
-    def p_dec(wAs, states, s16s, mvy, mvx, intra, recon_prev):
-        pred = _predict(recon_prev, mvy, mvx, intra)
+    def p_dec(wAs, states, s16s, mvy, mvx, refidx, intra, ring):
+        pred = _predict(ring, mvy, mvx, refidx, intra)
         res = jnp.stack([dec(wAs[c], states[c], s16s[c]) for c in range(C)])
-        return pred + res
+        return _push(ring, pred + res)
 
     return (jax.jit(key_enc), jax.jit(p_enc), jax.jit(key_dec),
             jax.jit(p_dec))
@@ -285,30 +312,34 @@ VERSION = 2
 
 
 def encode_video(frames: np.ndarray, quant: int = 9,
-                 gop: int = GOP_DEFAULT) -> bytes:
+                 gop: int = GOP_DEFAULT, n_refs: int = 1) -> bytes:
     """frames: (N, H, W) grayscale or (N, H, W, 3) RGB uint8; H, W
-    multiples of 8. Returns an RTV1 container."""
+    multiples of 8. n_refs > 1 enables the multi-reference ring (each
+    8x8 block picks its best of the last n_refs reconstructions).
+    Returns an RTV1 container."""
     color = frames.ndim == 4
     n, h, w = frames.shape[:3]
     channels = 3 if color else 1
     assert h % 8 == 0 and w % 8 == 0, "video dims must be multiples of 8"
-    key_enc, p_enc, _, _ = _frame_fns(w, h, quant, channels)
+    key_enc, p_enc, _, _ = _frame_fns(w, h, quant, channels, n_refs)
 
-    out = [struct.pack("<4sBBBHII", MAGIC, VERSION, 1 if color else 0,
-                       quant, gop, w, h)]
+    out = [struct.pack("<4sBBBHIIB", MAGIC, VERSION, 1 if color else 0,
+                       quant, gop, w, h, n_refs)]
     out.append(struct.pack("<I", n))
-    recon = None
+    ring = None
     payload = []
     for t in range(n):
         x = _planes_from_frame(frames[t], channels)
-        is_key = (t % gop) == 0 or recon is None
+        is_key = (t % gop) == 0 or ring is None
         if is_key:
-            wAs, tAs, wBs, tBs, recon = key_enc(x)
+            wAs, tAs, wBs, tBs, ring = key_enc(x)
             mv_stream = b""
             ftype = 0
         else:
-            wAs, tAs, wBs, tBs, recon, mvy, mvx, intra = p_enc(x, recon)
-            mv_stream = encode_mv(mvy, mvx, intra)
+            (wAs, tAs, wBs, tBs, ring,
+             mvy, mvx, refidx, intra) = p_enc(x, ring)
+            mv_stream = encode_mv(
+                mvy, mvx, intra, refidx if n_refs > 1 else None)
             ftype = 1
         planes = []
         for c in range(channels):
@@ -329,18 +360,18 @@ def encode_video(frames: np.ndarray, quant: int = 9,
 
 
 def decode_video(data: bytes) -> np.ndarray:
-    magic, version, color, quant, gop, w, h = struct.unpack(
-        "<4sBBBHII", data[:17])
+    magic, version, color, quant, gop, w, h, n_refs = struct.unpack(
+        "<4sBBBHIIB", data[:18])
     assert magic == MAGIC and version == VERSION
-    (n,) = struct.unpack("<I", data[17:21])
+    (n,) = struct.unpack("<I", data[18:22])
     channels = 3 if color else 1
     cfg = _frame_cfg(w, h, quant)
-    _, _, key_dec, p_dec = _frame_fns(w, h, quant, channels)
+    _, _, key_dec, p_dec = _frame_fns(w, h, quant, channels, n_refs)
     gy, gx = h // 8, w // 8
-    off = 21
+    off = 22
     shape = (n, h, w, 3) if color else (n, h, w)
     frames = np.empty(shape, np.uint8)
-    recon = None
+    ring = None
     nlen = 1 + 2 * channels
     for t in range(n):
         ftype = data[off]
@@ -354,9 +385,9 @@ def decode_video(data: bytes) -> np.ndarray:
         pairs = [(subs[1 + 2 * c], subs[2 + 2 * c]) for c in range(channels)]
         wAs, states, s16s = _parse_plane_streams(pairs, cfg)
         if ftype == 0:
-            recon = key_dec(wAs, states, s16s)
+            ring = key_dec(wAs, states, s16s)
         else:
-            mvy, mvx, intra = decode_mv(mv, gy, gx)
-            recon = p_dec(wAs, states, s16s, mvy, mvx, intra, recon)
-        frames[t] = _frame_to_pixels(recon, channels)
+            mvy, mvx, intra, refidx = decode_mv(mv, gy, gx, n_refs)
+            ring = p_dec(wAs, states, s16s, mvy, mvx, refidx, intra, ring)
+        frames[t] = _frame_to_pixels(ring[0], channels)
     return frames

@@ -145,13 +145,24 @@ def enc_dec_tables(freq):
 
 
 def model_rows(tables, tid):
-    """One-hot limb-matmul row fetch: tid (L,) int32 -> (cum_rows,
-    comb_rows) each (L, 32) f32, bit-exact (see _limbs)."""
+    """One-hot matmul row fetch: tid (L,) int32 -> (cum_rows, comb_rows)
+    each (L, 32) f32, bit-exact.
+
+    Wide grids use the bf16 limb fetch (full MXU rate); narrow grids are
+    latency-bound, where one HIGHEST-precision matmul beats several small
+    limb matmuls."""
     ntab = tables["cum"].shape[0]
     cols = jnp.arange(ntab, dtype=jnp.int32)
-    ohot = (tid[:, None] == cols[None, :]).astype(jnp.bfloat16)
-    cum = _onehot_fetch(ohot, tables["cum_l"])
-    comb = _onehot_fetch(ohot, tables["comb_l"])
+    if tid.shape[0] >= 8192:
+        ohot = (tid[:, None] == cols[None, :]).astype(jnp.bfloat16)
+        cum = _onehot_fetch(ohot, tables["cum_l"])
+        comb = _onehot_fetch(ohot, tables["comb_l"])
+        return cum, comb
+    ohot = (tid[:, None] == cols[None, :]).astype(jnp.float32)
+    cum = jnp.dot(ohot, tables["cum"], precision=jax.lax.Precision.HIGHEST,
+                  preferred_element_type=jnp.float32)
+    comb = jnp.dot(ohot, tables["comb"], precision=jax.lax.Precision.HIGHEST,
+                   preferred_element_type=jnp.float32)
     return cum, comb
 
 
@@ -485,7 +496,11 @@ def device_normalize(hist, valid):
     ints, so per-image tables need no reference implementation on the host.
     """
     valid = jnp.asarray(valid)
-    c = jnp.where(valid, hist, 0).astype(jnp.int32)
+    # every VALID symbol keeps freq >= 1 even at count 0: under the
+    # per-band evolution a symbol may first appear in a later band, and a
+    # zero frequency would make it uncodable (division by zero in the
+    # encoder transition)
+    c = jnp.where(valid, jnp.maximum(hist, 1), 0).astype(jnp.int32)
     pos = c > 0
     total = jnp.sum(c, axis=1, keepdims=True)
     # rescale so c*M fits in int32

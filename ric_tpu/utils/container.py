@@ -9,14 +9,16 @@ and streams stitch deterministically across a device mesh (SURVEY.md §5).
 
 Layout (little-endian):
   0   4s  magic "RTP1"
-  4   u8  version (1)
+  4   u8  version (2)
   5   u8  flags: bit0 color, bits1-2 transform, bit3 16-bit depth
   6   u8  quant (0 = lossless)
   7   u8  levels
   8   u32 width
   12  u32 height
   16  u16 tiles_x, u16 tiles_y  (1,1 = untiled)
-  20  u32 x nstreams  byte length of each substream
+  20  u8  lanes: 0 = auto, else log2(lane count)+1 (speed/rate knob)
+  21  3x u8 reserved
+  24  u32 x nstreams  byte length of each substream
   then u32 x nstreams per-substream CRC32s, a u32 CRC32 of everything
   above (header self-check — a flipped dim/quant byte must not silently
   decode as a different config), then the substreams, each padded to a
@@ -32,7 +34,7 @@ import numpy as np
 from ric_tpu.config import CodecConfig, Transform
 
 MAGIC = b"RTP1"
-VERSION = 1
+VERSION = 2
 
 
 class BadMagic(ValueError):
@@ -52,9 +54,10 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
     flags |= (1 if archival else 0) << 4
     flags |= 1 << 5  # per-substream CRC32 table present
     head = struct.pack(
-        "<4sBBBBIIHH",
+        "<4sBBBBIIHHBBBB",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
         cfg.width, cfg.height, tiles[0], tiles[1],
+        cfg.lanes_log2 + 1 if cfg.lanes_log2 >= 0 else 0, 0, 0, 0,
     )
     lens = struct.pack(f"<{len(streams)}I", *[len(s) for s in streams])
     from ric_tpu.utils.native import crc32
@@ -69,9 +72,8 @@ def read_container(data: bytes):
     """Returns (cfg, streams, tiles, archival)."""
     if data[:4] != MAGIC:
         raise BadMagic("bad magic (expected RTP1)")
-    (_, version, flags, quant, levels, width, height, tx, ty) = struct.unpack(
-        "<4sBBBBIIHH", data[:20]
-    )
+    (_, version, flags, quant, levels, width, height, tx, ty,
+     lanes_b, _r0, _r1, _r2) = struct.unpack("<4sBBBBIIHHBBBB", data[:24])
     if version != VERSION:
         raise ValueError(f"unsupported version {version}")
     channels = 3 if (flags & 1) else 1
@@ -79,10 +81,11 @@ def read_container(data: bytes):
         width=width, height=height, channels=channels, quant=quant,
         transform=Transform((flags >> 1) & 3), levels=levels,
         input_depth=16 if (flags >> 3) & 1 else 8,
+        lanes_log2=lanes_b - 1 if lanes_b else -1,
     )
     # two substreams per plane per tile: raw bits (A) + rANS (B)
     nstreams = channels * 2 * tx * ty
-    off = 20
+    off = 24
     lens = struct.unpack(f"<{nstreams}I", data[off : off + 4 * nstreams])
     off += 4 * nstreams
     crcs = None

@@ -71,3 +71,21 @@ def test_plane_too_large_guard():
                       transform=Transform.CDF53)
     with pytest.raises(image_codec.PlaneTooLarge, match="tiled"):
         image_codec.build_encode_plane(cfg, chroma=False)
+
+
+def test_lanes_override_roundtrip(rng):
+    """Explicit lane count is recorded in the container and honored by
+    the decoder (speed/rate knob)."""
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+
+    img = np.clip(
+        128 + 40 * rng.standard_normal((48, 64)), 0, 255
+    ).astype(np.uint8)
+    cfg = CodecConfig(width=64, height=48, quant=0,
+                      transform=Transform.CDF53, levels=2, lanes_log2=8)
+    data = image_codec.encode_image(img, cfg)
+    cfg2, _, _, _ = container.read_container(data)
+    assert cfg2.lanes_log2 == 8
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))

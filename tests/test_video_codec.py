@@ -84,11 +84,25 @@ def test_mv_roundtrip(rng):
     mvx = jnp.asarray(rng.integers(-40, 40, (gy, gx)), jnp.int32)
     intra = jnp.asarray(rng.random((gy, gx)) < 0.2)
     data = video_codec.encode_mv(mvy, mvx, intra)
-    my, mx, i2 = video_codec.decode_mv(data, gy, gx)
+    my, mx, i2, _ = video_codec.decode_mv(data, gy, gx)
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(intra))
     sel = ~np.asarray(intra)
     np.testing.assert_array_equal(np.asarray(my)[sel], np.asarray(mvy)[sel])
     np.testing.assert_array_equal(np.asarray(mx)[sel], np.asarray(mvx)[sel])
+
+
+def test_video_multiref_roundtrip_quality(rng):
+    """Multi-reference ring (n_refs=2): per-block best-of-last-2 recon
+    selection, coded ref indices, drift-free decode."""
+    frames = _video(rng, 5, 64, 64)
+    # make frame content alternate so older refs genuinely win sometimes
+    frames[2] = frames[0]
+    data = video_codec.encode_video(frames, quant=6, gop=5, n_refs=2)
+    out = video_codec.decode_video(data)
+    assert out.shape == frames.shape
+    for t in range(5):
+        p = psnr(out[t], frames[t])
+        assert p > 30, f"frame {t}: {p:.2f} dB"
 
 
 def test_yv12_output():

@@ -76,21 +76,16 @@ def main():
     @jax.jit
     def through_tables(x):
         pay = ic._plane_payload(cfg, plans, x)
-        if image_tables:
-            hist = ic._hist_from_payload(pay)
-            freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
-            return freq
-        return pay[0]["u"]
+        hist = ic._hist_from_payload(pay)
+        freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
+        return freq
 
     @jax.jit
     def through_rows(x):
         pay = ic._plane_payload(cfg, plans, x)
-        if image_tables:
-            hist = ic._hist_from_payload(pay)
-            freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
-            enc_tables = rans.enc_dec_tables(freq)
-        else:
-            enc_tables = static_tables
+        hist = ic._hist_from_payload(pay)
+        freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
+        enc_tables = rans.enc_dec_tables(freq)
         return ic._encode_rows(plans, pay, enc_tables, L)
 
     @jax.jit

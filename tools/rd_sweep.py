@@ -59,11 +59,18 @@ def _interp(points, target_bpp):
     return None
 
 
+QS = list(range(1, 28, 2))
+
+
 def sweep(img, name):
-    qs = list(range(1, 28, 2))
+    qs = QS
     ours = [ours_point(img, q) for q in qs]
     ref = [ref_point(img, q) for q in qs]
-    print(f"== {name}")
+    print(f"== {name}", flush=True)
+    for q, (bo, po), (br, pr) in zip(qs, ours, ref):
+        print(f"  q{q:2d}: ours {bo:.3f} bpp {po:5.2f} dB | "
+              f"ref {br:.3f} bpp {pr:5.2f} dB | rate x{bo/br:.3f}",
+              flush=True)
     for target in TARGETS:
         po = _interp(ours, target)
         pr = _interp(ref, target)
@@ -76,7 +83,12 @@ def sweep(img, name):
 
 
 def main():
-    paths = sys.argv[1:] or sorted(glob.glob("corpus/*.pgm"))
+    global QS
+    args = sys.argv[1:]
+    if args and args[0].startswith("--quants="):
+        QS = [int(v) for v in args[0].split("=")[1].split(",")]
+        args = args[1:]
+    paths = args or sorted(glob.glob("corpus/*.pgm"))
     for p in paths:
         img = pnm.read_pnm(p)
         if img.ndim == 3:

@@ -56,7 +56,7 @@ def plane_psnr(a, b):
 
 def frame_sizes(data, n, channels):
     """Per-frame payload sizes from our RTV1 v2 container."""
-    off = 21
+    off = 22
     nlen = 1 + 2 * channels
     sizes = []
     for _ in range(n):
