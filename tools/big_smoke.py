@@ -72,11 +72,15 @@ def main():
         return wA, states, s16
 
     @jax.jit
+    def check(y, x):
+        return jnp.all(y == x)
+
     def roundtrip_tile(sy, sx):
+        # separate (cached) enc/dec executables, like bench.py
         x = tile_img(sy, sx)
         wA, tA, wB, tB = enc(x)
         y = dec(*rewire(wA, wB))
-        return jnp.all(y == x), tB
+        return check(y, x), tB
 
     # warm (compile)
     ok, tB = roundtrip_tile(jnp.int32(0), jnp.int32(0))
