@@ -143,7 +143,10 @@ def _lanes(cfg: CodecConfig) -> int:
     npix = cfg.width * cfg.height
     bucket = 3 if cfg.q_step >= 256 else tbl.rate_bucket(cfg.quant)
     est_bytes = npix * _BPP_EST[bucket] / 8
-    cap = int(est_bytes * 0.015 / 4)
+    # large images take the wider grid (scan-step count dominates their
+    # runtime); small images take the tighter rate budget
+    frac = 0.015 if npix >= (1 << 22) else 0.0075
+    cap = int(est_bytes * frac / 4)
     l = 1 << max(6, cap.bit_length() - 1)
     return min(32768, l)
 
@@ -167,7 +170,42 @@ def _use_image_tables(cfg: CodecConfig) -> bool:
 # static row-major list of valid (table, symbol) positions for serialization
 _VALID_POS = np.argwhere(tbl._VALID)
 _N_VALID = len(_VALID_POS)
-_TABLE_SECTION_BITS = _N_VALID * 12
+# table section: per entry a 4-bit bitlen prefix, then bitlen-1 bits with
+# the leading 1 implicit (freq 0 -> prefix 0, no body). Fitted freqs are
+# mostly tiny, so this runs ~45% under the flat 12-bit layout; worst case
+# is 4 + 11 bits per entry
+_TABLE_SECTION_BITS = _N_VALID * 16
+
+
+def _pack_table_section(freq, capA):
+    """freq (N_TABLES, ALPHABET) int32 -> (wordsA, totalA)."""
+    fvals = freq[jnp.asarray(_VALID_POS[:, 0]),
+                 jnp.asarray(_VALID_POS[:, 1])]
+    blen = bitlen(fvals)
+    body = fvals - jnp.where(
+        blen > 0, jnp.int32(1) << jnp.maximum(blen - 1, 0), 0)
+    vals = jnp.concatenate([blen, body])
+    lens = jnp.concatenate(
+        [jnp.full((_N_VALID,), 4, jnp.int32), jnp.maximum(blen - 1, 0)])
+    return bitpack.pack(vals, lens, capA)
+
+
+def _unpack_table_section(wordsA):
+    """wordsA -> freq (N_TABLES, ALPHABET) int32 (two fixed passes: the
+    4-bit prefixes at static offsets, then the bodies at their prefix-sum
+    offsets — no serial walk)."""
+    n = _N_VALID
+    pref = bitpack.unpack(
+        wordsA, jnp.arange(n, dtype=jnp.int32) * 4,
+        jnp.full((n,), 4, jnp.int32)).astype(jnp.int32)
+    blens = jnp.maximum(pref - 1, 0)
+    offs, _ = bitpack.excl_cumsum(blens)
+    body = bitpack.unpack(wordsA, n * 4 + offs, blens).astype(jnp.int32)
+    fvals = jnp.where(
+        pref > 0, (jnp.int32(1) << jnp.maximum(pref - 1, 0)) | body, 0)
+    freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
+    return freq.at[jnp.asarray(_VALID_POS[:, 0]),
+                   jnp.asarray(_VALID_POS[:, 1])].set(fvals)
 
 
 def _ref_phases(p: BandPlan) -> int:
@@ -502,10 +540,7 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
         hist = _hist_from_payload(payload)
         freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
         enc_tables = rans.enc_dec_tables(freq)
-        tsec_vals = freq[jnp.asarray(_VALID_POS[:, 0]),
-                         jnp.asarray(_VALID_POS[:, 1])]
-        tsec_lens = jnp.full((_N_VALID,), 12, jnp.int32)
-        wordsA, totalA = bitpack.pack(tsec_vals, tsec_lens, capA)
+        wordsA, totalA = _pack_table_section(freq, capA)
     else:
         enc_tables = static_tables
         wordsA = jnp.zeros((capA,), jnp.uint32)
@@ -760,13 +795,7 @@ def _streams_to_coeffs(plans, L, nlev, image_tables, static_tables,
                        wordsA, states, stream16):
     """Shared decoder head: parsed stream arrays -> band coefficients."""
     if image_tables:
-        offs = jnp.arange(_N_VALID, dtype=jnp.int32) * 12
-        lens = jnp.full((_N_VALID,), 12, jnp.int32)
-        fvals = bitpack.unpack(wordsA, offs, lens).astype(jnp.int32)
-        freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
-        freq = freq.at[jnp.asarray(_VALID_POS[:, 0]),
-                       jnp.asarray(_VALID_POS[:, 1])].set(fvals)
-        dtables = rans.enc_dec_tables(freq)
+        dtables = rans.enc_dec_tables(_unpack_table_section(wordsA))
     else:
         dtables = static_tables
     return _decode_bands(plans, L, dtables, states, stream16, nlev)
