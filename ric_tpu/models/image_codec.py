@@ -548,7 +548,7 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
     rows = _encode_rows(plans, payload, enc_tables, L)
     if constrain is not None:
         rows = constrain(rows)
-    states, emit, words = rans.encode_packed(rows)
+    states, emit, words = rans.encode_packed_sparse(rows)
     stream, nw = rans.compact_words(emit, words, cap16)
     w16 = stream.reshape(-1, 2)
     packed16 = (w16[:, 0] | (w16[:, 1] << 16)).astype(jnp.uint32)
@@ -609,13 +609,22 @@ def _from_grid2(g, grid):
 
 
 def _decode_bands(plans, L, tables, states, stream, nlev,
-                  reader=None):
+                  reader=None, sparse=False):
     """Decode all band coefficient arrays from the word stream.
 
     When `reader` is None this builds the jit scan graph over (states,
     stream); otherwise symbols come from the ArchivalReader (host serial
     coder) and the same per-band math runs eagerly with no stream.
-    Returns {band name: dequantized coeffs}."""
+    `sparse=True` routes the three section scans through
+    rans.scan_rows_sparse, which skips all-inactive slot rows with a
+    dynamic trip count — a large win at high quantizers where R/D pruning
+    leaves only a few percent of the worst-case static rows active, and a
+    net loss on dense (lossless/low-quant) grids, so callers gate it on
+    the config's quantizer. Returns {band name: dequantized coeffs}."""
+    def _scan(body, carry, xs, row_act):
+        if sparse:
+            return rans.scan_rows_sparse(body, carry, xs, row_act)
+        return jax.lax.scan(body, carry, xs)
     plan_by_name = {p.name: p for p in plans}
     coeffs, sig_maps, u2d_pad = {}, {}, {}
     x = states
@@ -666,8 +675,9 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
                 k = jnp.where(sig_r, kraw + (1 if is_high else 0), 0)
                 return (x, gpos), (sig_r, k)
 
-            (x, gpos), (sig_g, k_g) = jax.lax.scan(
-                zk_body, (x, gpos), (ctx_g, alive_g))
+            (x, gpos), (sig_g, k_g) = _scan(
+                zk_body, (x, gpos), (ctx_g, alive_g),
+                jnp.any(alive_g, axis=1))
         else:
             z = reader.read_model(alive_g.shape, tbl.Z_BASE + ctx_g,
                                   alive_g & (not is_ll))
@@ -696,8 +706,9 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
                 rank = jnp.where(sig_r, _pat_join(va, vb, r, plong, th), 0)
                 return (x, gpos), rank
 
-            (x, gpos), rank_g = jax.lax.scan(
-                pat_body, (x, gpos), (k_g, sig_g, wa_g))
+            (x, gpos), rank_g = _scan(
+                pat_body, (x, gpos), (k_g, sig_g, wa_g),
+                jnp.any(sig_g, axis=1))
         else:
             va = reader.read_raw(wa_g.shape, wa_g, sig_g)
             r, plong, th = _pat_widths_b(va, k_g)
@@ -742,8 +753,9 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
                 field = _ref_join(vals)
                 return (x, gpos), (s, field)
 
-            (x, gpos), (s_g, field_g) = jax.lax.scan(
-                sref_body, (x, gpos), (sctx_g, act_g))
+            (x, gpos), (s_g, field_g) = _scan(
+                sref_body, (x, gpos), (sctx_g, act_g),
+                jnp.any(act_g, axis=1))
         else:
             s_g = reader.read_model(act_g.shape, tbl.S_BASE + sctx_g, act_g)
             flen = jnp.where(act_g, jnp.maximum(s_g, 1), 0)
@@ -792,13 +804,22 @@ def _pyramid_from_coeffs(coeffs, nlev):
 
 
 def _streams_to_coeffs(plans, L, nlev, image_tables, static_tables,
-                       wordsA, states, stream16):
+                       wordsA, states, stream16, sparse=False):
     """Shared decoder head: parsed stream arrays -> band coefficients."""
     if image_tables:
         dtables = rans.enc_dec_tables(_unpack_table_section(wordsA))
     else:
         dtables = static_tables
-    return _decode_bands(plans, L, dtables, states, stream16, nlev)
+    return _decode_bands(plans, L, dtables, states, stream16, nlev,
+                         sparse=sparse)
+
+
+def _sparse_decode(cfg: CodecConfig) -> bool:
+    """Static gate for the sparse decode scans: by q=14 the R/D kill
+    leaves well under half the worst-case slot rows active (measured
+    ~1.6% at q=20 vs ~90% at q=9 on natural-statistics content), which is
+    where row skipping beats the extra row permutations."""
+    return cfg.quant >= 14
 
 
 def build_decode_plane(cfg: CodecConfig, chroma: bool):
@@ -810,10 +831,12 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     image_tables = _use_image_tables(cfg)
     static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
 
+    sparse = _sparse_decode(cfg)
+
     def decode_plane(wordsA, states, stream16):
         coeffs = _streams_to_coeffs(
             plans, L, nlev, image_tables, static_tables,
-            wordsA, states, stream16)
+            wordsA, states, stream16, sparse=sparse)
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 

@@ -261,6 +261,31 @@ def enc_pack_uniform(val, width, act):
                      jnp.uint32(0))
 
 
+def _divmod_by_freq(x1, f):
+    """Exact (x1 // f, x1 % f) for u32 lanes with x1 < f << 20, f in [1, 4096].
+
+    TPU has no native integer divide — XLA emulates `u32 //` with a long
+    instruction sequence, and this runs once per encoded slot (the scan-step
+    hot path). The active-slot quotient fits 20 bits (the emit test caps
+    x1 < f << 20, and post-emit states are < 2^16), so a float32 estimate
+    is within +-1 of the true quotient and two integer corrections pin it
+    exactly. Lanes violating the precondition (inactive lanes carry f=1
+    with an arbitrary 32-bit state) get a clamped, possibly wrong quotient;
+    every caller discards those lanes via `where(act, ...)`.
+    """
+    q = jnp.floor(x1.astype(jnp.float32) / f.astype(jnp.float32))
+    q = jnp.minimum(q, jnp.float32((1 << 20) + 2)).astype(jnp.uint32)
+    r = (x1 - q * f).astype(jnp.int32)
+    fi = f.astype(jnp.int32)
+    under = r < 0
+    q = q - under.astype(jnp.uint32)
+    r = jnp.where(under, r + fi, r)
+    over = r >= fi
+    q = q + over.astype(jnp.uint32)
+    r = jnp.where(over, r - fi, r)
+    return q, r.astype(jnp.uint32)
+
+
 def encode_packed(packed):
     """Reverse-order encode over a (T, L) packed (act|f|start) grid.
 
@@ -284,13 +309,145 @@ def encode_packed(packed):
         emit = act & (x >= (f << 20))
         word = x & jnp.uint32(0xFFFF)
         x1 = jnp.where(emit, x >> 16, x)
-        xn = ((x1 // f) << M_BITS) + (x1 % f) + st
+        q, r = _divmod_by_freq(x1, f)
+        xn = (q << M_BITS) + r + st
         return jnp.where(act, xn, x), (emit, word)
 
     x0 = jnp.full((L,), RANS_L, jnp.uint32) + (packed[0] * 0)
     xf, (emit_r, words_r) = jax.lax.scan(
         step, x0, jnp.flip(packed, axis=0))
     return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
+
+
+def encode_packed_sparse(packed, chunk: int = 8):
+    """encode_packed skipping all-inactive rows — byte-identical output.
+
+    A row of the packed grid with no active slot is an identity step of the
+    reverse-order scan, so it can be skipped without changing any lane
+    state or emission. Sparse streams (high quantizers kill most blocks,
+    and section caps are worst-case static shapes) leave only a few percent
+    of rows active — e.g. ~2% at q=20 — so the scan shrinks proportionally:
+    stable-partition the active rows to the front (row-level take, not a
+    per-element gather), run a dynamically-bounded while-loop over `chunk`
+    rows at a time, and scatter the emission rows back to their original
+    positions. Dense grids pay two extra row permutations and win back the
+    per-step loop overhead via chunking.
+    """
+    T, L = packed.shape
+    if T == 0:
+        return encode_packed(packed)
+    act_row = jnp.any((packed & 1) == 1, axis=1)
+    order = jnp.argsort(jnp.where(act_row, 0, 1), stable=True)
+    rows_c = jnp.take(packed, order.astype(jnp.int32), axis=0)
+    K = jnp.sum(act_row.astype(jnp.int32))
+    n_iter = (K + chunk - 1) // chunk
+    rows_p = jnp.concatenate(
+        [rows_c, jnp.zeros((chunk, L), jnp.uint32)], axis=0)
+
+    def step(x, pk):
+        act = (pk & 1) == 1
+        f = jnp.where(act, (pk >> 1) & jnp.uint32(0xFFF), 1)
+        st = (pk >> 13)
+        emit = act & (x >= (f << 20))
+        word = jnp.where(emit, x & jnp.uint32(0xFFFF), 0)
+        x1 = jnp.where(emit, x >> 16, x)
+        q, r = _divmod_by_freq(x1, f)
+        xn = (q << M_BITS) + r + st
+        return jnp.where(act, xn, x), emit, word
+
+    def body(i, carry):
+        x, emit_b, words_b = carry
+        start = (n_iter - 1 - i) * chunk
+        blk = jax.lax.dynamic_slice(rows_p, (start, 0), (chunk, L))
+        ems, wds = [], []
+        for j in range(chunk - 1, -1, -1):
+            x, em, wd = step(x, blk[j])
+            ems.append(em)
+            wds.append(wd)
+        em_blk = jnp.stack(ems[::-1], axis=0)
+        wd_blk = jnp.stack(wds[::-1], axis=0)
+        emit_b = jax.lax.dynamic_update_slice(emit_b, em_blk, (start, 0))
+        words_b = jax.lax.dynamic_update_slice(words_b, wd_blk, (start, 0))
+        return x, emit_b, words_b
+
+    # anchor the loop carries to data-dependent values so their sharding
+    # "varying" type matches the body outputs under shard_map
+    x0 = jnp.full((L,), RANS_L, jnp.uint32) + (packed[0] * 0)
+    emit0 = jnp.zeros((T + chunk, L), bool) ^ ((packed[0] & 1) == 2)
+    words0 = jnp.zeros((T + chunk, L), jnp.uint32) + (packed[0] * 0)
+    xf, emit_c, words_c = jax.lax.fori_loop(
+        0, n_iter, body, (x0, emit0, words0))
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    emit = jnp.take(emit_c[:T], inv, axis=0)
+    words = jnp.take(words_c[:T], inv, axis=0)
+    return xf, emit, words
+
+
+def scan_rows_sparse(body, carry, inputs, row_act, chunk: int = 8):
+    """`lax.scan(body, carry, inputs)` that skips rows where row_act is
+    False — for bodies where an all-inactive row is an identity step with
+    all-zero outputs (the masked-lane convention of every coder scan here:
+    transitions keep x, renorm consumes no words, symbol outputs are
+    `where(act, ..., 0)`).
+
+    Rows are stable-partitioned (row-level take, no per-element gather) so
+    the active ones sit at the front, a fori_loop with a data-dependent
+    trip count walks them `chunk` at a time, and outputs are scattered back
+    to their original rows (skipped rows stay zero). High quantizers leave
+    only a few percent of section rows active, so the decode scans shrink
+    proportionally; dense grids win back per-step loop overhead from the
+    chunking."""
+    leaves = jax.tree_util.tree_leaves(inputs)
+    T = leaves[0].shape[0]
+    if T == 0:
+        return jax.lax.scan(body, carry, inputs)
+    tmap = jax.tree_util.tree_map
+    order = jnp.argsort(
+        jnp.where(row_act, 0, 1), stable=True).astype(jnp.int32)
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    ins_p = tmap(
+        lambda a: jnp.concatenate(
+            [jnp.take(a, order, axis=0),
+             jnp.zeros((chunk,) + a.shape[1:], a.dtype)], axis=0),
+        inputs)
+    K = jnp.sum(row_act.astype(jnp.int32))
+    n_iter = (K + chunk - 1) // chunk
+
+    row0 = tmap(lambda a: a[0], inputs)
+    out_sd = jax.eval_shape(lambda c, r: body(c, r)[1], carry, row0)
+    # anchor the zero-initialized output buffers to a data-dependent scalar
+    # so their sharding "varying" type matches the body outputs under
+    # shard_map (same trick as the scan carries elsewhere in this module)
+    r0 = leaves[0].ravel()[0] * 0
+
+    def _zero(s):
+        z = jnp.zeros((T + chunk,) + s.shape, s.dtype)
+        if s.dtype == jnp.dtype(bool):
+            return z ^ r0.astype(bool)
+        return z + r0.astype(s.dtype)
+
+    outs0 = tmap(_zero, out_sd)
+
+    def loop_body(i, state):
+        carry, outs = state
+        start = i * chunk
+        blk = tmap(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, start, chunk, 0),
+            ins_p)
+        rows_out = []
+        for j in range(chunk):
+            carry, o = body(carry, tmap(lambda a: a[j], blk))
+            rows_out.append(o)
+        out_blk = tmap(lambda *xs: jnp.stack(xs, 0), *rows_out)
+        outs = tmap(
+            lambda b, ob: jax.lax.dynamic_update_slice_in_dim(
+                b, ob, start, 0),
+            outs, out_blk)
+        return carry, outs
+
+    carry, outs = jax.lax.fori_loop(0, n_iter, loop_body, (carry, outs0))
+    outs = tmap(lambda a: jnp.take(a[:T], inv, axis=0), outs)
+    return carry, outs
 
 
 def compact_words(emit, words, cap: int):
@@ -402,7 +559,8 @@ def encode(tables, symbols, tids, active):
         emit = act & (x >= (f << 20))
         word = x & jnp.uint32(0xFFFF)
         x1 = jnp.where(emit, x >> 16, x)
-        xn = ((x1 // f) << M_BITS) + (x1 % f) + st
+        q, r = _divmod_by_freq(x1, f)
+        xn = (q << M_BITS) + r + st
         return jnp.where(act, xn, x), (emit, word)
 
     if symbols.shape[0] == 0:

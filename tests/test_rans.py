@@ -73,3 +73,25 @@ def test_rans_all_masked(rng):
     active = np.zeros(L * 4, bool)
     out, bits = roundtrip(symbols, tids, active, freqs, L)
     assert bits == 0
+
+
+def test_divmod_by_freq_exact(rng):
+    """The f32-reciprocal divide must equal true u32 divmod on every
+    active-slot input: x1 < f << 20, f in [1, 4096] — including the
+    adversarial near-multiple points where the float estimate is off by 1."""
+    fs = np.concatenate([
+        np.arange(1, 4097),
+        rng.integers(1, 4097, size=4096),
+    ]).astype(np.uint32)
+    qs = np.concatenate([
+        rng.integers(0, 1 << 20, size=fs.shape[0] // 2),
+        np.full(fs.shape[0] - fs.shape[0] // 2, (1 << 20) - 1),
+    ]).astype(np.uint64)
+    for roff in (0, 1, -1):
+        r_true = (roff % fs.astype(np.int64)).astype(np.uint64)
+        x1 = qs * fs.astype(np.uint64) + r_true
+        ok = x1 < (fs.astype(np.uint64) << np.uint64(20))
+        x1, f = x1[ok].astype(np.uint32), fs[ok]
+        q, r = rans._divmod_by_freq(jnp.asarray(x1), jnp.asarray(f))
+        np.testing.assert_array_equal(np.asarray(q), x1 // f)
+        np.testing.assert_array_equal(np.asarray(r), x1 % f)

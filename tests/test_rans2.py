@@ -106,3 +106,28 @@ def test_expand_words_exhaustive_small():
             p = np.cumsum(nd) - nd
             expect = np.asarray(win)[p.astype(int)]
             assert np.array_equal(w[nd], expect[nd])
+
+
+def test_encode_packed_sparse_matches_dense(rng):
+    """encode_packed_sparse must be byte-identical to encode_packed on
+    sparse, dense, and all-inactive grids (incl. T not a chunk multiple)."""
+    import jax.numpy as jnp
+    from ric_tpu.ops import rans
+
+    L = 32
+    for T, p_act in ((37, 0.03), (64, 1.0), (21, 0.0), (129, 0.4)):
+        act = rng.random((T, L)) < p_act
+        # whole-row activity pattern like real section tails
+        act[rng.random(T) < 0.5] = False
+        f = rng.integers(1, 4096, size=(T, L)).astype(np.uint32)
+        st = rng.integers(0, 4096 - 1, size=(T, L)).astype(np.uint32)
+        st = np.minimum(st, 4096 - f)
+        packed = np.where(act, 1 | (f << 1) | (st << 13), 0).astype(np.uint32)
+        g = jnp.asarray(packed)
+        s0, e0, w0 = rans.encode_packed(g)
+        s1, e1, w1 = rans.encode_packed_sparse(g)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+        np.testing.assert_array_equal(
+            np.where(np.asarray(e0), np.asarray(w0), 0),
+            np.where(np.asarray(e1), np.asarray(w1), 0))
