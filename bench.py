@@ -55,6 +55,49 @@ def synthetic(h, w, seed=7):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+def measure_reference(img, cfg: CodecConfig, reps=2):
+    """Drive the compiled reference (golden oracle, tools/oracle) over the
+    SAME content on this box's CPU, so vs_enc/vs_dec compare identical work
+    at identical rate (VERDICT r2 weak #2: the survey-era numbers were
+    measured on different content/entropy). Returns None if the reference
+    library can't be built here."""
+    try:
+        sys.path.insert(0, "tools")
+        from oracle import oracle
+        from ric_tpu.config import quant_step
+
+        h, w = img.shape
+        if cfg.lossless:
+            plane = (img.astype(np.int16) - 128).astype(np.int16)
+            q = lam = 0
+        else:
+            plane = ((img.astype(np.int16) - 128) << SHIFT).astype(np.int16)
+            q = quant_step(cfg.quant + SHIFT * 5)
+            lam = quant_step(cfg.quant + SHIFT * 5 - 7)
+        trans = int(cfg.transform)
+        stream = oracle.encode(plane, cfg.levels, 1, trans, q, lam)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            stream = oracle.encode(plane, cfg.levels, 1, trans, q, lam)
+        dt_e = (time.perf_counter() - t0) / reps
+        rec = oracle.decode(stream, w, h, cfg.levels, 1, trans, q)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            rec = oracle.decode(stream, w, h, cfg.levels, 1, trans, q)
+        dt_d = (time.perf_counter() - t0) / reps
+        if cfg.lossless:
+            assert np.array_equal(rec.astype(np.int32) + 128,
+                                  img.astype(np.int32))
+        return {
+            "ref_bpp": round((len(stream) + 9) * 8 / (w * h), 3),
+            "ref_enc_mpix_s": round(w * h / dt_e / 1e6, 2),
+            "ref_dec_mpix_s": round(w * h / dt_d / 1e6, 2),
+        }
+    except Exception as e:  # oracle unavailable (no /root/reference)
+        print(f"reference measurement skipped: {e}", file=sys.stderr)
+        return None
+
+
 def build_pair(cfg: CodecConfig):
     """Encode fn and a decode fn taking the encoder's device outputs."""
     enc = ic.build_encode_plane(cfg, chroma=False)
@@ -122,6 +165,8 @@ def main():
                               "unit": "", "vs_baseline": 0.0}))
             sys.exit(1)
 
+        ref = measure_reference(img, cfg)
+
         enc, rewire, dec = build_pair(cfg)
         x = jnp.asarray(img).astype(jnp.int32) - 128
         if not cfg.lossless:
@@ -141,10 +186,21 @@ def main():
             "vs_dec": round(dec_mpixs / base_dec, 2),
             "bpp": round(bpp, 3),
         }
+        if ref is not None:
+            # content-matched comparison: same pixels, same rate regime —
+            # vs_enc/vs_dec above keep the survey-era rows for continuity
+            rows_out[name].update(ref)
+            rows_out[name]["vs_enc_matched"] = round(
+                enc_mpixs / ref["ref_enc_mpix_s"], 2)
+            rows_out[name]["vs_dec_matched"] = round(
+                dec_mpixs / ref["ref_dec_mpix_s"], 2)
         if name == "lossless":
             headline = 1.0 / (1.0 / enc_mpixs + 1.0 / dec_mpixs)
         print(f"{name}: enc {enc_mpixs:.1f} ({enc_mpixs/base_enc:.2f}x) "
-              f"dec {dec_mpixs:.1f} ({dec_mpixs/base_dec:.2f}x)",
+              f"dec {dec_mpixs:.1f} ({dec_mpixs/base_dec:.2f}x)"
+              + (f" | ref measured enc {ref['ref_enc_mpix_s']:.1f} "
+                 f"dec {ref['ref_dec_mpix_s']:.1f} bpp {ref['ref_bpp']}"
+                 if ref else ""),
               file=sys.stderr)
 
     print(json.dumps({

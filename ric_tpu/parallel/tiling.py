@@ -327,13 +327,15 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
+    sparse = image_codec._sparse_decode(tcfg)
+
     def local(wordsA, statesB, stream16):
         take = (lambda a: a[0, 0]) if grid else (lambda a: a[0])
         wordsA, statesB, stream16 = (
             take(wordsA), take(statesB), take(stream16))
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, static_tables,
-            wordsA, statesB, stream16)
+            wordsA, statesB, stream16, sparse=sparse)
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
             pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp",

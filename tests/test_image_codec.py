@@ -81,3 +81,26 @@ def test_host_loop_tiled_encode_roundtrip(rng):
     out = image_codec.decode_image(data)
     assert out.shape == (h, w, 3)
     np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_high_quant_sparse_decode_matches_dense(rng, monkeypatch):
+    """q>=14 streams decode through the sparse row-skipping scans by
+    default (image_codec._sparse_decode); the output must be exactly the
+    dense scan's, and the roundtrip must hold quality (ADVICE r2: the
+    sparse path previously shipped with no decode coverage)."""
+    img = _synthetic(rng, 64, 64)
+    cfg = CodecConfig(width=64, height=64, quant=20,
+                      transform=Transform.CDF97)
+    assert image_codec._sparse_decode(cfg)
+    data = image_codec.encode_image(img, cfg)
+    out_sparse = image_codec.decode_image(data)
+    mse = float(np.mean((out_sparse.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 26.0, f"q20 roundtrip PSNR too low: {psnr:.2f} dB"
+    # force the dense scans through an uncached decoder; outputs must match
+    monkeypatch.setattr(image_codec, "_sparse_decode", lambda c: False)
+    monkeypatch.setattr(
+        image_codec, "_cached_decoder",
+        lambda cfg, chroma: image_codec.build_decode_plane(cfg, chroma))
+    out_dense = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out_sparse, out_dense)

@@ -131,3 +131,41 @@ def test_encode_packed_sparse_matches_dense(rng):
         np.testing.assert_array_equal(
             np.where(np.asarray(e0), np.asarray(w0), 0),
             np.where(np.asarray(e1), np.asarray(w1), 0))
+
+
+def test_scan_rows_sparse_matches_scan(rng):
+    """scan_rows_sparse == lax.scan on a representative decode body
+    (uniform_transition + renorm, masked-lane convention): pins the
+    inactive-rows-are-identity-with-zero-outputs contract independently
+    of the full-codec tests (ADVICE r2)."""
+    import jax
+    import jax.numpy as jnp
+    from ric_tpu.ops import rans
+
+    L = 16
+    for T, p_act in ((53, 0.2), (24, 1.0), (11, 0.0)):
+        act = rng.random((T, L)) < p_act
+        act[rng.random(T) < 0.5] = False  # whole-row gaps like real tails
+        width = np.where(act, rng.integers(1, 13, size=(T, L)), 0).astype(
+            np.int32)
+        stream = jnp.asarray(
+            rng.integers(0, 1 << 16, size=(T * L + L,)), jnp.uint32)
+        states0 = jnp.asarray(
+            rng.integers(1 << 16, 1 << 32, size=(L,), dtype=np.int64
+                         ).astype(np.uint32))
+
+        def body(carry, inp):
+            x, gpos = carry
+            w_r, act_r = inp
+            v, xn = rans.uniform_transition(x, w_r, act_r)
+            x, gpos = rans.renorm(xn, act_r & (w_r > 0), stream, gpos)
+            return (x, gpos), v
+
+        xs = (jnp.asarray(width), jnp.asarray(act))
+        carry0 = (states0, jnp.int32(0))
+        (xr, gr), vr = jax.lax.scan(body, carry0, xs)
+        (xs_, gs_), vs_ = rans.scan_rows_sparse(
+            body, carry0, xs, jnp.asarray(act.any(axis=1)))
+        np.testing.assert_array_equal(np.asarray(xr), np.asarray(xs_))
+        assert int(gr) == int(gs_)
+        np.testing.assert_array_equal(np.asarray(vr), np.asarray(vs_))
