@@ -549,10 +549,14 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
     if constrain is not None:
         rows = constrain(rows)
     states, emit, words = rans.encode_packed_sparse(rows)
-    stream, nw = rans.compact_words(emit, words, cap16)
-    w16 = stream.reshape(-1, 2)
-    packed16 = (w16[:, 0] | (w16[:, 1] << 16)).astype(jnp.uint32)
-    wordsB = jnp.concatenate([states.astype(jnp.uint32), packed16])
+    stream16, nw = rans.compact_words(emit, words, cap16)
+    # wordsB is uint16: its row-major bytes ARE the wire layout, so no
+    # element-order-preserving width change (a cross-lane de-interleave,
+    # ~30 ms at 40M words on TPU) ever runs on device. The L states open
+    # the stream as little-endian u32 = low u16 first.
+    states16 = jax.lax.bitcast_convert_type(
+        states, jnp.uint16).reshape(-1)
+    wordsB = jnp.concatenate([states16, stream16])
     totalB = jnp.int32(L * 32) + nw * 16
     return wordsA, totalA, wordsB, totalB
 
@@ -1012,7 +1016,11 @@ def ycocg_to_yv12(y, co, cg, offset: int = -128):
 
 
 def words_to_bytes(words, total_bits: int) -> bytes:
-    nw = (int(total_bits) + 31) // 32
+    """Dump a device word array's leading total_bits as wire bytes
+    (dtype-generic: stream B is uint16, stream A uint32 — row-major
+    little-endian bytes are the wire layout either way)."""
+    ibits = words.dtype.itemsize * 8
+    nw = (int(total_bits) + ibits - 1) // ibits
     # bucket the device slice so eager-op shapes stay cacheable across
     # images with different stream lengths
     bucket = min(-(-max(nw, 1) // (1 << 18)) * (1 << 18), words.shape[0])

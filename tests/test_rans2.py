@@ -28,7 +28,8 @@ def test_model_roundtrip(seed, L):
     )(syms, tids, acts)
     states, emit, words = rans.encode_packed(packed)
     cap = T * L + L
-    stream, nw = rans.compact_words(emit, words, cap)
+    packedw, nw = rans.compact_words(emit, words, cap)
+    stream = rans.unpack_words16(packedw)
 
     def dec(states, stream):
         x = states
@@ -70,7 +71,8 @@ def test_duplex_model_uniform_roundtrip(seed):
     # interleave phases: (T, 2, L) -> (2T, L)
     packed = jnp.stack([pk_a, pk_b], axis=1).reshape(2 * T, L)
     states, emit, words = rans.encode_packed(packed)
-    stream, nw = rans.compact_words(emit, words, 2 * T * L + L)
+    packedw, nw = rans.compact_words(emit, words, 2 * T * L + L)
+    stream = rans.unpack_words16(packedw)
 
     def dec(states, stream):
         x = states
