@@ -54,6 +54,11 @@ def main(argv=None) -> int:
     ap.add_argument("--tiles", default="",
                     help="TXxTY tile grid (e.g. 4x2): single-device tiled "
                          "encode for very large images")
+    ap.add_argument("--gtiles", default="",
+                    help="TXxTY GLOBAL-DWT tile grid (mode 2): tiles share "
+                         "one global wavelet transform (no tile seams), "
+                         "per-tile entropy substreams; encodes on one "
+                         "device or a device mesh, decodes anywhere")
     ap.add_argument("--profile", default="rans",
                     choices=("rans", "archival"),
                     help="rans: parallel TPU profile; archival: serial "
@@ -77,7 +82,7 @@ def main(argv=None) -> int:
         img = image_codec.decode_image(data, dither=args.dither)
         from ric_tpu.utils.container import read_container
 
-        cfg, _, _, _ = read_container(data)
+        cfg, _, _, _, _ = read_container(data)
         dt = np.uint16 if cfg.input_depth == 16 else np.uint8
         pnm.write_pnm(out, img.astype(dt))
         return 0
@@ -94,7 +99,13 @@ def main(argv=None) -> int:
         input_depth=16 if img.dtype.itemsize > 1 else 8,
         lanes_log2=args.lanes,
     )
-    if args.tiles:
+    if args.gtiles:
+        from ric_tpu.parallel import tiling
+
+        tx, ty = (int(v) for v in args.gtiles.lower().split("x"))
+        data = tiling.encode_image_tiled_global_container(
+            img, cfg, tiles=(tx, ty))
+    elif args.tiles:
         tx, ty = (int(v) for v in args.tiles.lower().split("x"))
         data = image_codec.encode_image_tiles(img, cfg, tiles=(tx, ty))
     else:

@@ -170,19 +170,22 @@ def _use_image_tables(cfg: CodecConfig) -> bool:
 # static row-major list of valid (table, symbol) positions for serialization
 _VALID_POS = np.argwhere(tbl._VALID)
 _N_VALID = len(_VALID_POS)
-# table section: per entry a 4-bit bitlen prefix, then bitlen-1 bits with
-# the leading 1 implicit (freq 0 -> prefix 0, no body). Fitted freqs are
-# mostly tiny, so this runs ~45% under the flat 12-bit layout; worst case
-# is 4 + 11 bits per entry
-_TABLE_SECTION_BITS = _N_VALID * 16
+# table section: per-image COARSE tables delta-coded against the static
+# coarse projection (both sides know it): per entry a 4-bit bitlen prefix
+# of zigzag(delta), then bitlen-1 bits with the leading 1 implicit
+# (delta 0 -> prefix 0, no body). Deltas are mostly tiny, so this runs far
+# under the flat 12-bit layout; worst case is 4 + 12 bits per entry.
+_TABLE_SECTION_BITS = _N_VALID * 17
 
 
-def _pack_table_section(freq, capA):
-    """freq (N_TABLES, ALPHABET) int32 -> (wordsA, totalA)."""
-    fvals = freq[jnp.asarray(_VALID_POS[:, 0]),
-                 jnp.asarray(_VALID_POS[:, 1])]
-    blen = bitlen(fvals)
-    body = fvals - jnp.where(
+def _pack_table_section(freq, stat, capA):
+    """freq, stat (N_TABLES, ALPHABET) int32 -> (wordsA, totalA)."""
+    rows = jnp.asarray(_VALID_POS[:, 0])
+    cols = jnp.asarray(_VALID_POS[:, 1])
+    d = freq[rows, cols] - stat[rows, cols]
+    zz = (d << 1) ^ (d >> 31)
+    blen = bitlen(zz)
+    body = zz - jnp.where(
         blen > 0, jnp.int32(1) << jnp.maximum(blen - 1, 0), 0)
     vals = jnp.concatenate([blen, body])
     lens = jnp.concatenate(
@@ -190,7 +193,7 @@ def _pack_table_section(freq, capA):
     return bitpack.pack(vals, lens, capA)
 
 
-def _unpack_table_section(wordsA):
+def _unpack_table_section(wordsA, stat):
     """wordsA -> freq (N_TABLES, ALPHABET) int32 (two fixed passes: the
     4-bit prefixes at static offsets, then the bodies at their prefix-sum
     offsets — no serial walk)."""
@@ -201,11 +204,13 @@ def _unpack_table_section(wordsA):
     blens = jnp.maximum(pref - 1, 0)
     offs, _ = bitpack.excl_cumsum(blens)
     body = bitpack.unpack(wordsA, n * 4 + offs, blens).astype(jnp.int32)
-    fvals = jnp.where(
+    zz = jnp.where(
         pref > 0, (jnp.int32(1) << jnp.maximum(pref - 1, 0)) | body, 0)
+    d = (zz >> 1) ^ -(zz & 1)
+    rows = jnp.asarray(_VALID_POS[:, 0])
+    cols = jnp.asarray(_VALID_POS[:, 1])
     freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
-    return freq.at[jnp.asarray(_VALID_POS[:, 0]),
-                   jnp.asarray(_VALID_POS[:, 1])].set(fvals)
+    return freq.at[rows, cols].set(stat[rows, cols] + d)
 
 
 def _ref_phases(p: BandPlan) -> int:
@@ -271,7 +276,7 @@ def _pattern_of(u_blk):
 
 def _coeff_size_fields(u_blk, k):
     """Per-coeff size class s = bitlen(mag-1), raw field ((ref<<1)|sign) of
-    max(s,1) bits, and the s-table context min(k-1,15)."""
+    max(s,1) bits, and the coarse s-table context min(k-1,15)."""
     active = u_blk != 0
     mag1 = jnp.maximum((u_blk >> 1) - 1, 0)
     s = bitlen(mag1)
@@ -280,6 +285,21 @@ def _coeff_size_fields(u_blk, k):
     flen = jnp.where(active, jnp.maximum(s, 1), 0)
     ctx = jnp.clip(k - 1, 0, 15)
     return active, s, field, flen, ctx
+
+
+def _plan_bases(p: BandPlan):
+    """Static fine-table base rows for a band (level/orient/kind are static
+    per band, so richer contexts cost nothing in the scan: the tid stays
+    the dynamic 16-value parML / 256-value parML*16+(k-1))."""
+    oid = 0 if p.orient == "L" else {"V": 0, "H": 1, "D": 2}[p.orient]
+    lvlc = 2 if p.kind == "ll" else min(p.level, 2)
+    zb = tbl.z_fine_base(lvlc, oid)
+    if p.kind == "high":
+        kb = tbl.kh_fine_base(oid)
+    else:
+        kb = tbl.kl_fine_base(lvlc, oid)
+    sb = tbl.s_fine_base(lvlc)
+    return zb, kb, sb
 
 
 def _sel17(table_np, k):
@@ -420,7 +440,7 @@ def _payload_from_pyramid(plans, pyr):
             "z": z, "z_act": z_act, "sig": s_mask,
             "pat_va": va, "pat_wa": wa, "pat_vb": vb, "pat_wb": wb,
             "active": active, "s": s, "field": field, "flen": flen,
-            "sctx": sctx,
+            "sctx": sctx, "sctxf": ctx * 16 + sctx,
         })
     return payload
 
@@ -430,17 +450,17 @@ def _plane_payload(cfg: CodecConfig, plans, x):
     return _payload_from_pyramid(plans, pyr)
 
 
-def _hist_acc(hist, base, ctx, sym, act, nsym):
-    """Accumulate (ctx, sym) counts into hist rows [base, base+16)."""
+def _hist_acc(hist, base, ctx, sym, act, nsym, nctx: int = 16):
+    """Accumulate (ctx, sym) counts into hist rows [base, base+nctx)."""
     ctx = ctx.ravel()
     sym = jnp.clip(sym.ravel(), 0, nsym - 1)
     act = act.ravel()
-    c16 = jnp.arange(16, dtype=jnp.int32)
+    cn = jnp.arange(nctx, dtype=jnp.int32)
     an = jnp.arange(nsym, dtype=jnp.int32)
     # both operands are 0/1 (exact in bf16); accumulation stays f32 via
     # preferred_element_type, so DEFAULT precision is exact and runs at
     # full MXU rate (HIGHEST would multi-pass for nothing)
-    ohc = (ctx[:, None] == c16[None, :]).astype(jnp.bfloat16)
+    ohc = (ctx[:, None] == cn[None, :]).astype(jnp.bfloat16)
     ohs = (sym[:, None] == an[None, :]).astype(jnp.bfloat16)
     ohs = ohs * act.astype(jnp.bfloat16)[:, None]
     h = jnp.dot(ohc.T, ohs, preferred_element_type=jnp.float32)
@@ -448,7 +468,7 @@ def _hist_acc(hist, base, ctx, sym, act, nsym):
     if pad:
         h = jnp.pad(h, ((0, 0), (0, pad)))
     return jax.lax.dynamic_update_slice(
-        hist, jax.lax.dynamic_slice(hist, (base, 0), (16, tbl.ALPHABET))
+        hist, jax.lax.dynamic_slice(hist, (base, 0), (nctx, tbl.ALPHABET))
         + h, (base, 0))
 
 
@@ -473,11 +493,43 @@ def _band_hist(pay):
 
 
 def _hist_from_payload(payload, L_unused=None):
-    """Whole-plane model-slot histograms (table fitting / stats tools)."""
+    """Whole-plane COARSE model-slot histograms (the per-image table
+    section's space; also stats tools)."""
     hist = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
     for pay in payload:
         hist = hist + _band_hist(pay)
     return hist
+
+
+def _band_hist_fine(pay):
+    """One band's FINE-context histogram (tablegen corpus fitting)."""
+    p = pay["plan"]
+    zb, kb, sb = _plan_bases(p)
+    hist = jnp.zeros((tbl.N_FINE, tbl.ALPHABET), jnp.float32)
+    if p.kind != "ll":
+        hist = _hist_acc(hist, zb, pay["ctx"], pay["z"], pay["z_act"], 2)
+    if p.kind == "high":
+        hist = _hist_acc(hist, kb, pay["ctx"], pay["k"] - 1, pay["sig"], 16)
+    else:
+        hist = _hist_acc(hist, kb, pay["ctx"], pay["k"], pay["sig"], 17)
+    sctx = pay["sctxf"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
+    hist = _hist_acc(hist, sb, sctx, pay["s"], pay["active"], 32, nctx=256)
+    return hist.astype(jnp.int32)
+
+
+def build_plane_stats_fine(cfg: CodecConfig, chroma: bool):
+    """Fine-context histogram pass: (N_FINE, ALPHABET) counts
+    (tools/tablegen.py corpus fitting)."""
+    plans, dims = make_plane_plans(cfg, chroma)
+
+    def plane_stats(x):
+        payload = _plane_payload(cfg, plans, x)
+        hist = jnp.zeros((tbl.N_FINE, tbl.ALPHABET), jnp.int32)
+        for pay in payload:
+            hist = hist + _band_hist_fine(pay)
+        return hist
+
+    return jax.jit(plane_stats)
 
 
 def _band_rows(pay, tables, L: int):
@@ -490,17 +542,16 @@ def _band_rows(pay, tables, L: int):
         return jnp.stack(gs, axis=1).reshape(T * len(gs), L)
 
     p = pay["plan"]
+    zb, kb, sb = _plan_bases(p)
     ctx, k = pay["ctx"].ravel(), pay["k"].ravel()
     rows = []
-    # ZK
+    # ZK (per-band static table-slice: one-hot width 16, not N_FINE)
     pk_z = rans.enc_pack_model(
-        tables, pay["z"].ravel(), tbl.Z_BASE + ctx, pay["z_act"].ravel())
-    if p.kind == "high":
-        pk_k = rans.enc_pack_model(
-            tables, k - 1, tbl.KH_BASE + ctx, pay["sig"].ravel())
-    else:
-        pk_k = rans.enc_pack_model(
-            tables, k, tbl.KL_BASE + ctx, pay["sig"].ravel())
+        rans.slice_tables(tables, zb, 16), pay["z"].ravel(), ctx,
+        pay["z_act"].ravel())
+    ksym = k - 1 if p.kind == "high" else k
+    pk_k = rans.enc_pack_model(
+        rans.slice_tables(tables, kb, 16), ksym, ctx, pay["sig"].ravel())
     rows.append(interleave([grid(pk_z), grid(pk_k)]))
     # PAT
     sig = pay["sig"].ravel()
@@ -511,10 +562,10 @@ def _band_rows(pay, tables, L: int):
     rows.append(interleave([grid(pk_a), grid(pk_b)]))
     # SREF
     act = pay["active"].ravel()
-    sctx = (pay["sctx"][..., None]
+    sctx = (pay["sctxf"][..., None]
             * jnp.ones((1, 1, 16), jnp.int32)).ravel()
     pk_s = rans.enc_pack_model(
-        tables, pay["s"].ravel(), tbl.S_BASE + sctx, act)
+        rans.slice_tables(tables, sb, 256), pay["s"].ravel(), sctx, act)
     parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
                        _ref_phases(p))
     pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
@@ -528,21 +579,31 @@ def _encode_rows(plans, payload, tables, L: int):
         [_band_rows(pay, tables, L) for pay in payload], axis=0)
 
 
-def _payload_to_streams(plans, L, capA, cap16, image_tables, static_tables,
+def _modulated_tables(tctx, q_img):
+    """Per-image coarse tables -> modulated fine scan tables (both sides
+    run this identical integer math; see rans.modulate_tables)."""
+    freq_fine = rans.modulate_tables(
+        jnp.asarray(tctx["fine"]), q_img, jnp.asarray(tctx["coarse"]),
+        jnp.asarray(tbl.COARSE_OF), jnp.asarray(tbl._VALID_FINE))
+    return rans.enc_dec_tables(freq_fine)
+
+
+def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
                         payload, constrain=None):
     """Shared encoder tail: payload -> (wordsA, totalA, wordsB, totalB).
-    Stream B = [L x u32 lane states][u16 words packed 2-per-u32].
+    Stream B = uint16 wire words: [2L state halves][16-bit renorm words].
 
     `constrain` (optional) applies a sharding constraint to the packed
     (T, L) grid so the rANS scan partitions over the lane axis — the
     tensor-style within-stage parallelism of parallel/lanes.py."""
     if image_tables:
         hist = _hist_from_payload(payload)
-        freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
-        enc_tables = rans.enc_dec_tables(freq)
-        wordsA, totalA = _pack_table_section(freq, capA)
+        q_img = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
+        enc_tables = _modulated_tables(tctx, q_img)
+        wordsA, totalA = _pack_table_section(
+            q_img, jnp.asarray(tctx["coarse"]), capA)
     else:
-        enc_tables = static_tables
+        enc_tables = tctx["dense"]
         wordsA = jnp.zeros((capA,), jnp.uint32)
         totalA = jnp.int32(0)
     rows = _encode_rows(plans, payload, enc_tables, L)
@@ -568,12 +629,12 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
     capA = _cap_words_a(cfg)
     cap16 = _cap_words16(plans, L)
     image_tables = _use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
 
     def encode_plane(x):
         payload = _plane_payload(cfg, plans, x)
         return _payload_to_streams(
-            plans, L, capA, cap16, image_tables, static_tables, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload)
 
     return jax.jit(encode_plane)
 
@@ -658,23 +719,25 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
 
         is_ll = p.kind == "ll"
         is_high = p.kind == "high"
-        kbase = tbl.KH_BASE if is_high else tbl.KL_BASE
+        zb, kb, sb = _plan_bases(p)
 
         ctx_g = rans.to_grid(ctx.ravel(), L)
         alive_g = rans.to_grid(a.ravel(), L, fill=False)
 
         if reader is None:
-            def zk_body(carry, inp, is_ll=is_ll, kbase=kbase,
-                        is_high=is_high):
+            ztab = rans.slice_tables(tables, zb, 16)
+            ktab = rans.slice_tables(tables, kb, 16)
+            stab = rans.slice_tables(tables, sb, 256)
+
+            def zk_body(carry, inp, is_ll=is_ll, is_high=is_high,
+                        ztab=ztab, ktab=ktab):
                 x, gpos = carry
                 ctx_r, alive_r = inp
                 z_act = alive_r & (not is_ll)
-                z, xn = rans.model_transition(
-                    tables, x, tbl.Z_BASE + ctx_r, z_act)
+                z, xn = rans.model_transition(ztab, x, ctx_r, z_act)
                 x, gpos = rans.renorm(xn, z_act, stream, gpos)
                 sig_r = alive_r & (z == 0)
-                kraw, xn = rans.model_transition(
-                    tables, x, kbase + ctx_r, sig_r)
+                kraw, xn = rans.model_transition(ktab, x, ctx_r, sig_r)
                 x, gpos = rans.renorm(xn, sig_r, stream, gpos)
                 k = jnp.where(sig_r, kraw + (1 if is_high else 0), 0)
                 return (x, gpos), (sig_r, k)
@@ -683,10 +746,10 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
                 zk_body, (x, gpos), (ctx_g, alive_g),
                 jnp.any(alive_g, axis=1))
         else:
-            z = reader.read_model(alive_g.shape, tbl.Z_BASE + ctx_g,
+            z = reader.read_model(alive_g.shape, zb + ctx_g,
                                   alive_g & (not is_ll))
             sig_g = alive_g & (z == 0)
-            kraw = reader.read_model(sig_g.shape, kbase + ctx_g, sig_g)
+            kraw = reader.read_model(sig_g.shape, kb + ctx_g, sig_g)
             k_g = jnp.where(sig_g, kraw + (1 if is_high else 0), 0)
 
         sig = _from_grid2(sig_g, grid)
@@ -727,19 +790,19 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
             ((pattern[..., None] >> (15 - lane)) & 1) == 1
         )
 
-        # SREF
-        sctx = jnp.clip(k2d - 1, 0, 15)
+        # SREF (fine ctx: parML*16 + min(k-1,15); parML is the same per-
+        # block ctx the ZK scan used — decoded data, both sides agree)
+        sctx = ctx * 16 + jnp.clip(k2d - 1, 0, 15)
         sctx_cf = sctx[..., None] * jnp.ones((1, 1, 16), jnp.int32)
         act_g = rans.to_grid(active.ravel(), L, fill=False)
         sctx_g = rans.to_grid(sctx_cf.ravel(), L)
         phases = _ref_phases(p)
 
         if reader is None:
-            def sref_body(carry, inp, phases=phases):
+            def sref_body(carry, inp, phases=phases, stab=stab):
                 x, gpos = carry
                 sctx_r, act_r = inp
-                s, xn = rans.model_transition(
-                    tables, x, tbl.S_BASE + sctx_r, act_r)
+                s, xn = rans.model_transition(stab, x, sctx_r, act_r)
                 x, gpos = rans.renorm(xn, act_r, stream, gpos)
                 flen = jnp.where(act_r, jnp.maximum(s, 1), 0)
                 # widths top-first, matching the encoder's _ref_split order
@@ -761,7 +824,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
                 sref_body, (x, gpos), (sctx_g, act_g),
                 jnp.any(act_g, axis=1))
         else:
-            s_g = reader.read_model(act_g.shape, tbl.S_BASE + sctx_g, act_g)
+            s_g = reader.read_model(act_g.shape, sb + sctx_g, act_g)
             flen = jnp.where(act_g, jnp.maximum(s_g, 1), 0)
             vals = []
             rem = flen
@@ -807,13 +870,14 @@ def _pyramid_from_coeffs(coeffs, nlev):
     return pyr
 
 
-def _streams_to_coeffs(plans, L, nlev, image_tables, static_tables,
+def _streams_to_coeffs(plans, L, nlev, image_tables, tctx,
                        wordsA, states, stream16, sparse=False):
     """Shared decoder head: parsed stream arrays -> band coefficients."""
     if image_tables:
-        dtables = rans.enc_dec_tables(_unpack_table_section(wordsA))
+        q_img = _unpack_table_section(wordsA, jnp.asarray(tctx["coarse"]))
+        dtables = _modulated_tables(tctx, q_img)
     else:
-        dtables = static_tables
+        dtables = tctx["dense"]
     return _decode_bands(plans, L, dtables, states, stream16, nlev,
                          sparse=sparse)
 
@@ -833,13 +897,13 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     transform = Transform(cfg.transform)
     nlev = len(dims)
     image_tables = _use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
 
     sparse = _sparse_decode(cfg)
 
     def decode_plane(wordsA, states, stream16):
         coeffs = _streams_to_coeffs(
-            plans, L, nlev, image_tables, static_tables,
+            plans, L, nlev, image_tables, tctx,
             wordsA, states, stream16, sparse=sparse)
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
@@ -854,9 +918,8 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
 
 
 def _archival_seed(cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
-    return np.frombuffer(
-        tbl.get_freqs(tbl.rate_bucket(cfg.quant), chroma), np.int32
-    ).reshape(tbl.N_TABLES, tbl.ALPHABET)
+    """Fine static tables seed the serial coder's count-adaptive models."""
+    return tbl.fine_np(tbl.rate_bucket(cfg.quant), chroma)
 
 
 @functools.lru_cache(maxsize=16)
@@ -869,7 +932,7 @@ def _cached_archival_front(cfg: CodecConfig, chroma: bool):
         out = []
         for pay in payload:
             p = pay["plan"]
-            sctx = (pay["sctx"][..., None]
+            sctx = (pay["sctxf"][..., None]
                     * jnp.ones((1, 1, 16), jnp.int32))
             parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
                                _ref_phases(p))
@@ -897,13 +960,13 @@ def encode_plane_archival(x, cfg: CodecConfig, chroma: bool):
         (z, ctx, z_act, k, sig, pva, pwa, pvb, pwb, s, sctx, act,
          parts) = pay
         is_high = p.kind == "high"
-        kbase = tbl.KH_BASE if is_high else tbl.KL_BASE
-        enc.put(np.asarray(z), tbl.Z_BASE + np.asarray(ctx), np.asarray(z_act))
+        zb, kb, sb = _plan_bases(p)
+        enc.put(np.asarray(z), zb + np.asarray(ctx), np.asarray(z_act))
         ksym = np.asarray(k) - (1 if is_high else 0)
-        enc.put(np.clip(ksym, 0, 31), kbase + np.asarray(ctx), np.asarray(sig))
+        enc.put(np.clip(ksym, 0, 31), kb + np.asarray(ctx), np.asarray(sig))
         enc.put_raw(np.asarray(pva), np.asarray(pwa), np.asarray(sig))
         enc.put_raw(np.asarray(pvb), np.asarray(pwb), np.asarray(sig))
-        enc.put(np.asarray(s), tbl.S_BASE + np.asarray(sctx), np.asarray(act))
+        enc.put(np.asarray(s), sb + np.asarray(sctx), np.asarray(act))
         for v, w in parts:
             enc.put_raw(np.asarray(v), np.asarray(w), np.asarray(act))
     return b"", enc.finish()
@@ -1172,7 +1235,7 @@ def decode_batch(datas: list[bytes], mesh=None) -> np.ndarray:
     dp-sharded."""
     parsed = [container.read_container(d) for d in datas]
     cfg = parsed[0][0]
-    for c, _, tiles, arch in parsed:
+    for c, _, tiles, arch, _m2 in parsed:
         if c != cfg or tiles != (1, 1) or arch:
             raise ValueError("decode_batch needs same-config untiled "
                              "rans-profile containers")
@@ -1303,12 +1366,14 @@ def decode_plane_streams(streams: list[bytes], cfg: CodecConfig,
 
 
 def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
-    cfg, streams, tiles, archival = container.read_container(data)
+    cfg, streams, tiles, archival, mode2 = container.read_container(data)
     if tiles != (1, 1):
         # tiled containers carry per-tile substreams; route to the tiled
         # decoder (parallel/tiling.py) which reconstructs per-tile configs
         from ric_tpu.parallel import tiling
 
+        if mode2:
+            return tiling.decode_container_tiled_global(cfg, streams, tiles)
         return tiling.decode_container_tiled(cfg, streams, tiles)
     return decode_plane_streams(streams, cfg, archival=archival,
                                 dither=dither)

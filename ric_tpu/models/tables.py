@@ -1,16 +1,29 @@
 """Static rANS context tables (the TPU analogue of the reference's baked
 Huffman tables, bandcodec.cpp:607-745, and its adaptive bit/geo models).
 
-Table map (all alphabet-padded to 32 symbols):
-  Z  + ctx(0..15)   zerotree bit, ctx = bitlen(max parent 2x2 magnitude)
-  KL + ctx(0..15)   k of low/LL bands (0..16)
-  KH + ctx(0..15)   k-1 of finest bands (0..15)
-  S  + ctx(0..15)   coeff size class bitlen(mag-1) (0..31), ctx = min(k-1,15)
+Two context spaces (round-3 redesign, driven by tools/ctx_probe.py):
 
-Priors below are analytically seeded (geometric / humped shapes following
-the reference's k_mean init, bandcodec.cpp:488-490); tools/tablegen.py
-refits them from corpus histograms and rewrites tables.npz, which takes
-precedence when present.
+FINE (what the scans actually code with; 1056 tables, alphabet-padded 32):
+  ZF + (lvlc*3+orient)*16 + parML   zerotree bit        (144 tables)
+  KLF + ((lvlc-1)*3+orient)*16 + parML  k of low bands  (96)
+  KHF + orient*16 + parML           k-1 of finest bands (48)
+  SF + lvlc*256 + parML*16 + min(k-1,15)  size class    (768)
+where parML = bitlen of max parent 2x2 magnitude (the reference maxLen,
+bandcodec.cpp:324-344), lvlc = min(level, 2) (0 = finest), orient V/H/D =
+0/1/2. Level and orientation are STATIC per band, so the scans only ever
+one-hot over a 16- or 256-row slice — richer context costs no stream bytes
+and almost no device time. Probe-measured gain vs the round-2 coarse
+contexts: ~2-3%% of total stream across q0..q21 (leave-one-out fit).
+
+COARSE (the per-image two-pass table section; 64 tables — the round-2
+layout, kept as the section space so per-image adaptation stays ~1 KB):
+  Z  + parML | KL + parML | KH + parML | S + min(k-1,15)
+Per-image coarse tables RATIO-MODULATE the fine static tables
+deterministically on both sides (see image_codec): fine structure from the
+corpus fit, image-level shifts from the two-pass histogram.
+
+Priors are analytically seeded; tools/tablegen.py refits from corpus
+histograms into tables.npz, which is part of the bitstream format.
 """
 from __future__ import annotations
 
@@ -22,15 +35,79 @@ import numpy as np
 from ric_tpu.ops import rans
 
 ALPHABET = 32
+
+# coarse (section) space
 Z_BASE, KL_BASE, KH_BASE, S_BASE = 0, 16, 32, 48
 N_TABLES = 64
+
+# fine (scan) space
+ZF_BASE = 0
+KLF_BASE = 144
+KHF_BASE = 240
+SF_BASE = 288
+N_FINE = 1056
 
 _NPZ = os.path.join(os.path.dirname(__file__), "tables.npz")
 
 
-def _prior_counts() -> np.ndarray:
+def z_fine_base(lvlc: int, orient: int) -> int:
+    return ZF_BASE + (lvlc * 3 + orient) * 16
+
+
+def kl_fine_base(lvlc: int, orient: int) -> int:
+    return KLF_BASE + ((max(lvlc, 1) - 1) * 3 + orient) * 16
+
+
+def kh_fine_base(orient: int) -> int:
+    return KHF_BASE + orient * 16
+
+
+def s_fine_base(lvlc: int) -> int:
+    return SF_BASE + lvlc * 256
+
+
+def _fine_layout():
+    """Per fine row: (coarse row, alphabet size)."""
+    coarse = np.zeros(N_FINE, np.int32)
+    nsym = np.zeros(N_FINE, np.int32)
+    for lvlc in range(3):
+        for o in range(3):
+            b = z_fine_base(lvlc, o)
+            coarse[b : b + 16] = Z_BASE + np.arange(16)
+            nsym[b : b + 16] = 2
+    for lc in range(2):
+        for o in range(3):
+            b = KLF_BASE + (lc * 3 + o) * 16
+            coarse[b : b + 16] = KL_BASE + np.arange(16)
+            nsym[b : b + 16] = 17
+    for o in range(3):
+        b = kh_fine_base(o)
+        coarse[b : b + 16] = KH_BASE + np.arange(16)
+        nsym[b : b + 16] = 16
+    for lvlc in range(3):
+        b = s_fine_base(lvlc)
+        for pml in range(16):
+            r = b + pml * 16
+            coarse[r : r + 16] = S_BASE + np.arange(16)
+            nsym[r : r + 16] = ALPHABET
+    return coarse, nsym
+
+
+COARSE_OF, _FINE_NSYM = _fine_layout()
+
+_VALID_FINE = np.zeros((N_FINE, ALPHABET), bool)
+for _r in range(N_FINE):
+    _VALID_FINE[_r, : _FINE_NSYM[_r]] = True
+
+_VALID = np.zeros((N_TABLES, ALPHABET), bool)
+_VALID[Z_BASE : Z_BASE + 16, :2] = True
+_VALID[KL_BASE : KL_BASE + 16, :17] = True
+_VALID[KH_BASE : KH_BASE + 16, :16] = True
+_VALID[S_BASE : S_BASE + 16, :] = True
+
+
+def _prior_counts_coarse() -> np.ndarray:
     counts = np.zeros((N_TABLES, ALPHABET), np.float64)
-    # Z: p(insignificant) falls as the parent neighborhood gets louder
     p_insig = np.array(
         [0.75, 0.62, 0.50, 0.38, 0.28, 0.20, 0.14, 0.10,
          0.08, 0.06, 0.05, 0.04, 0.04, 0.03, 0.03, 0.35]
@@ -38,7 +115,6 @@ def _prior_counts() -> np.ndarray:
     for c in range(16):
         counts[Z_BASE + c, 0] = 1.0 - p_insig[c]
         counts[Z_BASE + c, 1] = p_insig[c]
-    # K: humped around a ctx-dependent mean (reference k_mean seeds)
     k_mean = np.array([1.5, 2, 3, 4, 6, 8, 10, 12, 13, 14, 14, 15, 15, 15, 15, 6])
     ks = np.arange(17, dtype=np.float64)
     for c in range(16):
@@ -47,7 +123,6 @@ def _prior_counts() -> np.ndarray:
         counts[KH_BASE + c, :16] = np.exp(
             -np.abs(np.arange(16) - max(k_mean[c] - 1, 0)) / 2.5
         )
-    # S: geometric decay, heavier tail at higher k context
     s = np.arange(ALPHABET, dtype=np.float64)
     for c in range(16):
         scale = 0.8 + 0.12 * c
@@ -55,11 +130,11 @@ def _prior_counts() -> np.ndarray:
     return counts
 
 
-_VALID = np.zeros((N_TABLES, ALPHABET), bool)
-_VALID[Z_BASE : Z_BASE + 16, :2] = True
-_VALID[KL_BASE : KL_BASE + 16, :17] = True
-_VALID[KH_BASE : KH_BASE + 16, :16] = True
-_VALID[S_BASE : S_BASE + 16, :] = True
+def _prior_counts() -> np.ndarray:
+    """Fine prior = coarse prior broadcast through the projection."""
+    coarse = _prior_counts_coarse()
+    return coarse[COARSE_OF] * _VALID_FINE
+
 
 # Rate-regime buckets: symbol statistics shift strongly with the quantizer
 # (lossless streams are dense, q>=15 streams are nearly-all-zerotree), so
@@ -80,43 +155,68 @@ def rate_bucket(quant: int) -> int:
 
 @functools.lru_cache(maxsize=1)
 def _all_counts() -> np.ndarray:
-    """(2, N_BUCKETS, N_TABLES, ALPHABET): luma- and chroma-fitted sets.
+    """(2, N_BUCKETS, N_FINE, ALPHABET): luma- and chroma-fitted sets.
 
     Chroma planes see the +8 quant boost (C_Q_BOOST) and much sparser
     residuals, so they get their own fitted tables per rate bucket —
     still selected statically from config, zero per-stream header cost."""
     if os.path.exists(_NPZ):
         data = np.load(_NPZ)["counts"]
-        if data.ndim == 4 and data.shape[:2] == (2, N_BUCKETS):
+        if data.ndim == 4 and data.shape[1:] == (N_BUCKETS, N_FINE, ALPHABET):
             return data
-        if data.ndim == 3 and data.shape[0] == N_BUCKETS:
-            return np.broadcast_to(data, (2,) + data.shape).copy()
-        return np.broadcast_to(data, (2, N_BUCKETS) + data.shape).copy()
     return np.broadcast_to(
-        _prior_counts(), (2, N_BUCKETS, N_TABLES, ALPHABET)
+        _prior_counts(), (2, N_BUCKETS, N_FINE, ALPHABET)
     ).copy()
 
 
 @functools.lru_cache(maxsize=2 * N_BUCKETS)
 def get_freqs(bucket: int = 0, chroma: bool = False) -> bytes:
-    """Frequencies as a hashable bytes blob (for cache keys)."""
+    """FINE frequencies as a hashable bytes blob ((N_FINE, 32) int32)."""
     counts = _all_counts()[1 if chroma else 0][bucket]
-    freqs = rans.normalize_freqs(counts, _VALID)
+    freqs = rans.normalize_freqs(counts, _VALID_FINE)
     return freqs.astype(np.int32).tobytes()
 
 
 @functools.lru_cache(maxsize=2 * N_BUCKETS)
+def get_coarse_freqs(bucket: int = 0, chroma: bool = False) -> bytes:
+    """Static COARSE tables ((N_TABLES, 32) int32): the fine fit projected
+    through COARSE_OF then normalized — the reference point both sides use
+    for the per-image section delta coding and the ratio modulation."""
+    counts = _all_counts()[1 if chroma else 0][bucket]
+    coarse = np.zeros((N_TABLES, ALPHABET), np.float64)
+    np.add.at(coarse, COARSE_OF, counts)
+    freqs = rans.normalize_freqs(coarse, _VALID)
+    return freqs.astype(np.int32).tobytes()
+
+
+def fine_np(bucket: int = 0, chroma: bool = False) -> np.ndarray:
+    return np.frombuffer(get_freqs(bucket, chroma), np.int32).reshape(
+        N_FINE, ALPHABET)
+
+
+def coarse_np(bucket: int = 0, chroma: bool = False) -> np.ndarray:
+    return np.frombuffer(get_coarse_freqs(bucket, chroma), np.int32).reshape(
+        N_TABLES, ALPHABET)
+
+
+@functools.lru_cache(maxsize=2 * N_BUCKETS)
 def get_tables(bucket: int = 0, chroma: bool = False):
-    freqs = np.frombuffer(get_freqs(bucket, chroma), np.int32).reshape(
-        N_TABLES, ALPHABET
-    )
-    return rans.build_tables(freqs)
+    return rans.build_tables(fine_np(bucket, chroma))
 
 
 @functools.lru_cache(maxsize=2 * N_BUCKETS)
 def get_dense_tables(bucket: int = 0, chroma: bool = False):
-    """v2-engine dense (cum, comb) f32 rows for the gather-free scans."""
-    freqs = np.frombuffer(get_freqs(bucket, chroma), np.int32).reshape(
-        N_TABLES, ALPHABET
-    )
-    return rans.enc_dec_tables(freqs)
+    """v2-engine dense (cum, comb) rows (FINE space) for the scans."""
+    return rans.enc_dec_tables(fine_np(bucket, chroma))
+
+
+@functools.lru_cache(maxsize=2 * N_BUCKETS)
+def get_table_ctx(bucket: int = 0, chroma: bool = False):
+    """Everything a codec graph needs for this rate bucket: the dense fine
+    scan tables plus the (fine, coarse) static frequency arrays used for
+    per-image section delta coding and ratio modulation."""
+    return {
+        "dense": get_dense_tables(bucket, chroma),
+        "fine": fine_np(bucket, chroma),
+        "coarse": coarse_np(bucket, chroma),
+    }

@@ -16,10 +16,10 @@
 #include <cstring>
 #include <cstdlib>
 #include <vector>
+#include <array>
 
 namespace {
 
-constexpr int kMaxTables = 256;
 constexpr int kAlphabet = 32;
 constexpr uint32_t kTop = 1u << 24;
 constexpr uint32_t kBot = 1u << 16;
@@ -27,10 +27,13 @@ constexpr uint32_t kBot = 1u << 16;
 // Count-based adaptive model bank. Counts adapt with +32 increments and
 // halve when the total crosses 2^13 (fast adaptation early, stable later).
 struct Models {
-    uint32_t freq[kMaxTables][kAlphabet];
-    uint32_t total[kMaxTables];
+    // dynamically sized: the fine-context layout passes ~1k tables
+    std::vector<std::array<uint32_t, kAlphabet>> freq;
+    std::vector<uint32_t> total;
 
     void init(const int32_t* seed, int n_tables) {
+        freq.assign(n_tables, {});
+        total.assign(n_tables, 0);
         for (int t = 0; t < n_tables; t++) {
             uint32_t tot = 0;
             for (int s = 0; s < kAlphabet; s++) {

@@ -144,6 +144,43 @@ def enc_dec_tables(freq):
     }
 
 
+def slice_tables(tables, base: int, n: int):
+    """Static row slice of the dense enc/dec tables (free XLA slices).
+    Scans pass per-band slices so the one-hot fetch width stays at the
+    band's context-row count (16 or 256) no matter how many fine-context
+    tables exist globally."""
+    out = {}
+    for k in ("cum", "comb", "freq_i", "start_i"):
+        if k in tables:
+            out[k] = tables[k][base : base + n]
+    for k in ("cum_l", "comb_l"):
+        if k in tables:
+            out[k] = [lm[base : base + n] for lm in tables[k]]
+    return out
+
+
+def modulate_tables(fine_freq, img_coarse, stat_coarse, coarse_of,
+                    valid_fine):
+    """Per-image ratio modulation of the fine static tables (deterministic
+    integer math — encoder and decoder derive identical tables).
+
+    fine_freq (NF, A) int32 static fine tables (rows sum M);
+    img_coarse (NC, A) int32 per-image two-pass coarse tables (rows sum M);
+    stat_coarse (NC, A) int32 static coarse projection (rows sum M);
+    coarse_of (NF,) int32 fine->coarse row map; valid_fine (NF, A) bool.
+
+    C(f,s) = fine(f,s) * img(c(f),s) // max(stat(c(f),s), 1) keeps the
+    fine-context structure from the corpus fit while applying the image's
+    coarse-level frequency shifts (the parallel answer to the reference's
+    in-band adaptation). Products stay < 2^24 (both factors < 2^12).
+    """
+    qi = img_coarse[coarse_of]
+    qs = jnp.maximum(stat_coarse[coarse_of], 1)
+    c = (fine_freq * qi) // qs
+    c = jnp.where(valid_fine, jnp.maximum(c, 1), 0)
+    return device_normalize(c, valid_fine)
+
+
 def model_rows(tables, tid):
     """One-hot matmul row fetch: tid (L,) int32 -> (cum_rows, comb_rows)
     each (L, 32) f32, bit-exact.

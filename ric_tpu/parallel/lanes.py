@@ -37,7 +37,7 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
     capA = image_codec._cap_words_a(cfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
     lane_sh = NamedSharding(mesh, P(None, "sp"))
 
     def constrain(rows):
@@ -46,7 +46,7 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
     def encode_plane(x):
         payload = image_codec._plane_payload(cfg, plans, x)
         return image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, static_tables, payload,
+            plans, L, capA, cap16, image_tables, tctx, payload,
             constrain=constrain)
 
     return jax.jit(encode_plane)

@@ -41,7 +41,7 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
     capA = image_codec._cap_words_a(cfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
 
     def stage1(x):
         payload = image_codec._plane_payload(cfg, plans, x)
@@ -55,7 +55,7 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
             dict(pay, plan=p) for pay, p in zip(payload_arrays, plans)
         ]
         return image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, static_tables, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload)
 
     stage1_j = jax.jit(stage1)
     stage2_j = jax.jit(stage2)

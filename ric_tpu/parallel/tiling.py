@@ -251,7 +251,7 @@ def pad_for_grid(img: np.ndarray, cfg: CodecConfig, spx: int, spy: int):
     return img, dataclasses.replace(cfg, width=wp, height=hp)
 
 
-def build_tiled_encode_global(cfg: CodecConfig, mesh):
+def build_tiled_encode_global(cfg: CodecConfig, mesh, chroma: bool = False):
     """Returns jitted fn: (H, W) int32 -> per-tile streams. 1-D sp mesh:
     (wordsA (sp, capA), tA (sp,), wordsB (sp, capB), tB (sp,)); a mesh with
     a 'spy' axis tiles both image axes and the leading stream dim becomes
@@ -259,13 +259,13 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
     sp = mesh.shape["sp"]
     spy = dict(mesh.shape).get("spy", 1)
     grid = spy > 1
-    plans, dims = make_tile_plans(cfg, False, sp, spy)
+    plans, dims = make_tile_plans(cfg, chroma, sp, spy)
     tcfg = _tile_cfg(cfg, sp, spy)
     L = image_codec._lanes(tcfg)
     capA = image_codec._cap_words_a(tcfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(tcfg)
-    static_tables = tbl_mod.get_dense_tables(tbl_mod.rate_bucket(cfg.quant))
+    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
@@ -276,7 +276,7 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh):
         )
         payload = image_codec._payload_from_pyramid(plans, pyr)
         wA, tA, wB, tB = image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, static_tables, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload)
         if grid:
             return (wA[None, None], tA[None, None],
                     wB[None, None], tB[None, None])
@@ -314,16 +314,16 @@ def encode_image_tiled_global(img, cfg: CodecConfig, mesh):
     return streams
 
 
-def build_tiled_decode_global(cfg: CodecConfig, mesh):
+def build_tiled_decode_global(cfg: CodecConfig, mesh, chroma: bool = False):
     sp = mesh.shape["sp"]
     spy = dict(mesh.shape).get("spy", 1)
     grid = spy > 1
-    plans, dims = make_tile_plans(cfg, False, sp, spy)
+    plans, dims = make_tile_plans(cfg, chroma, sp, spy)
     tcfg = _tile_cfg(cfg, sp, spy)
     L = image_codec._lanes(tcfg)
     nlev = len(dims)
     image_tables = image_codec._use_image_tables(tcfg)
-    static_tables = tbl_mod.get_dense_tables(tbl_mod.rate_bucket(cfg.quant))
+    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
@@ -334,7 +334,7 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh):
         wordsA, statesB, stream16 = (
             take(wordsA), take(statesB), take(stream16))
         coeffs = image_codec._streams_to_coeffs(
-            plans, L, nlev, image_tables, static_tables,
+            plans, L, nlev, image_tables, tctx,
             wordsA, statesB, stream16, sparse=sparse)
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
@@ -403,3 +403,229 @@ def decode_image_tiled_global_any(streams, cfg: CodecConfig,
                                   pcfg: CodecConfig, mesh):
     out = decode_image_tiled_global(streams, pcfg, mesh)
     return out[: cfg.height, : cfg.width]
+
+
+# --------------------------------------------------------------------------
+# Mode-2 PRODUCT SURFACE: RTP1 containers with the global-DWT tile grid
+# (flags bit 6). Encode works on a device mesh (halo-exchange DWT) or a
+# single device (global DWT + per-tile entropy, shared per-tile graph);
+# decode needs NO mesh — per-tile coefficients decode independently, the
+# global band arrays are stitched, and one untiled inverse DWT finishes.
+# Streams are identical either way (the DWT is global by construction),
+# so a container encoded on an 8-chip mesh decodes bit-identically on one.
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _tile_coeff_encoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
+    """Shared jit: one tile's band-slice pyramid -> (wA, tA, wB, tB)."""
+    plans, dims = make_tile_plans(cfg, chroma, tx, ty)
+    tcfg = _tile_cfg(cfg, tx, ty)
+    L = image_codec._lanes(tcfg)
+    capA = image_codec._cap_words_a(tcfg)
+    cap16 = image_codec._cap_words16(plans, L)
+    image_tables = image_codec._use_image_tables(tcfg)
+    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+
+    def enc(pyr_tile):
+        payload = image_codec._payload_from_pyramid(plans, pyr_tile)
+        return image_codec._payload_to_streams(
+            plans, L, capA, cap16, image_tables, tctx, payload)
+
+    return jax.jit(enc)
+
+
+@functools.lru_cache(maxsize=16)
+def _tile_coeff_decoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
+    """Shared jit: one tile's streams -> band coeff arrays (plan order)."""
+    plans, dims = make_tile_plans(cfg, chroma, tx, ty)
+    tcfg = _tile_cfg(cfg, tx, ty)
+    L = image_codec._lanes(tcfg)
+    nlev = len(dims)
+    image_tables = image_codec._use_image_tables(tcfg)
+    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+    sparse = image_codec._sparse_decode(tcfg)
+    names = [p.name for p in plans]
+
+    def dec(wordsA, states, stream16):
+        coeffs = image_codec._streams_to_coeffs(
+            plans, L, nlev, image_tables, tctx,
+            wordsA, states, stream16, sparse=sparse)
+        return tuple(coeffs[n] for n in names)
+
+    return jax.jit(dec), names, plans, L
+
+
+def _encode_plane_mode2(plane, pcfg: CodecConfig, chroma: bool,
+                        tx: int, ty: int):
+    """Single-device mode-2 plane encode: global DWT once, then the shared
+    per-tile entropy graph over the (ty, tx) grid. Returns per-tile
+    [A, B] byte substreams in raster tile order."""
+    from ric_tpu.config import Transform
+    from ric_tpu.ops import lifting
+
+    pyr = jax.jit(
+        lambda x: lifting.dwt(x, Transform(pcfg.transform), pcfg.levels)
+    )(jnp.asarray(plane, jnp.int32))
+    enc = _tile_coeff_encoder(pcfg, chroma, tx, ty)
+    streams = []
+    for j in range(ty):
+        for i in range(tx):
+            tile_pyr = []
+            for lvl_entry in pyr:
+                sl = {}
+                for o, band in lvl_entry.items():
+                    h, w = band.shape
+                    th, tw = h // ty, w // tx
+                    sl[o] = jax.lax.dynamic_slice(
+                        band, (j * th, i * tw), (th, tw))
+                tile_pyr.append(sl)
+            wA, tA, wB, tB = enc(tile_pyr)
+            streams.append(image_codec.words_to_bytes(wA, int(tA)))
+            streams.append(image_codec.words_to_bytes(wB, int(tB)))
+    return streams
+
+
+def _decode_plane_mode2(streams, pcfg: CodecConfig, chroma: bool,
+                        tx: int, ty: int) -> np.ndarray:
+    """Mesh-free mode-2 plane decode: per-tile coeffs via the shared jit,
+    global band stitch, one untiled inverse DWT."""
+    from ric_tpu.config import Transform
+    from ric_tpu.ops import lifting
+
+    dec, names, plans, L = _tile_coeff_decoder(pcfg, chroma, tx, ty)
+    capA = image_codec._cap_words_a(_tile_cfg(pcfg, tx, ty))
+    cap16 = image_codec._cap_words16(plans, L) + L + 8
+    per_tile = []
+    for t in range(tx * ty):
+        a, b = streams[2 * t], streams[2 * t + 1]
+        bufA = np.frombuffer(a + b"\x00" * ((-len(a)) % 4), dtype="<u4")
+        wA = np.zeros(capA, np.uint32)
+        wA[: min(len(bufA), capA)] = bufA[:capA]
+        b32 = np.frombuffer(
+            b[: 4 * L] + b"\x00" * max(4 * L - len(b), 0), "<u4")
+        states = b32[:L].astype(np.uint32)
+        w16 = np.frombuffer(
+            b[4 * L :] + b"\x00" * ((-(len(b) - 4 * L)) % 2), "<u2")
+        s16 = np.zeros(cap16, np.uint32)
+        s16[: min(len(w16), cap16)] = w16[:cap16]
+        per_tile.append(dec(
+            jnp.asarray(wA), jnp.asarray(states), jnp.asarray(s16)))
+    # stitch global bands: per name, tiles in raster order
+    gplans, dims = image_codec.make_plane_plans(pcfg, chroma)
+    nlev = len(dims)
+    coeffs = {}
+    for idx, name in enumerate(names):
+        rows = []
+        for j in range(ty):
+            rows.append(jnp.concatenate(
+                [per_tile[j * tx + i][idx] for i in range(tx)], axis=1))
+        coeffs[name] = jnp.concatenate(rows, axis=0)
+    pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
+    out = jax.jit(
+        lambda p: lifting.idwt(
+            p, pcfg.width, pcfg.height, Transform(pcfg.transform))
+    )(pyr)
+    return np.asarray(out)
+
+
+def encode_image_tiled_global_container(img: np.ndarray, cfg: CodecConfig,
+                                        tiles: tuple[int, int],
+                                        mesh=None) -> bytes:
+    """Mode-2 tiled encode of a raw uint8/uint16 image ((H, W) gray or
+    (H, W, 3) RGB) into an RTP1 container with the global-DWT tile grid
+    (container flags bit 6). Arbitrary dims: pad_for_grid edge padding,
+    cropped on decode. With `mesh` (shape (spy?, sp) matching `tiles`)
+    the DWT runs distributed with ppermute halos; without, a single
+    device computes the global DWT and runs the shared per-tile entropy
+    graph — streams are identical either way."""
+    import dataclasses
+    from ric_tpu.config import SHIFT
+
+    tx, ty = tiles
+    img = np.asarray(img)
+    if mesh is not None:
+        sp = mesh.shape["sp"]
+        spy = dict(mesh.shape).get("spy", 1)
+        assert (tx, ty) == (sp, spy), "mesh shape must match tile grid"
+    x32 = jnp.asarray(img).astype(jnp.int32)
+    if cfg.channels == 3:
+        y, co, cg = image_codec.rgb_to_ycocg(x32, 0 if cfg.lossless else SHIFT)
+        planes = [(y, False), (cg, True), (co, True)]
+    else:
+        mid = 1 << (cfg.input_depth - 1)
+        if cfg.lossless or cfg.input_depth != 8:
+            planes = [(x32 - mid, False)]
+        else:
+            planes = [((x32 - mid) << SHIFT, False)]
+    padded0, pcfg = pad_for_grid(np.asarray(planes[0][0]), cfg, tx, ty)
+    per_tile_streams = [[] for _ in range(tx * ty)]
+    for plane, chroma in planes:
+        pl = np.asarray(plane)
+        pl, _ = pad_for_grid(pl, cfg, tx, ty)
+        if mesh is not None:
+            fn = build_tiled_encode_global(pcfg, mesh, chroma)
+            wA, tA, wB, tB = fn(jnp.asarray(pl, jnp.int32))
+            spy = dict(mesh.shape).get("spy", 1)
+            if spy > 1:
+                wA = wA.reshape(spy * tx, -1)
+                wB = wB.reshape(spy * tx, -1)
+                tA, tB = tA.reshape(-1), tB.reshape(-1)
+            for t in range(tx * ty):
+                per_tile_streams[t].append(
+                    image_codec.words_to_bytes(wA[t], int(tA[t])))
+                per_tile_streams[t].append(
+                    image_codec.words_to_bytes(wB[t], int(tB[t])))
+        else:
+            sub = _encode_plane_mode2(pl, pcfg, chroma, tx, ty)
+            for t in range(tx * ty):
+                per_tile_streams[t].append(sub[2 * t])
+                per_tile_streams[t].append(sub[2 * t + 1])
+    streams = [s for tile in per_tile_streams for s in tile]
+    from ric_tpu.utils import container
+
+    return container.write_container(cfg, streams, tiles=tiles, mode2=True)
+
+
+def decode_container_tiled_global(cfg: CodecConfig, streams: list[bytes],
+                                  tiles: tuple[int, int]) -> np.ndarray:
+    """Decode a mode-2 container on any topology (no mesh needed): the
+    per-tile substreams decode independently, band arrays stitch globally,
+    one untiled inverse DWT reconstructs. Stream order is tile-major with
+    [A, B] per channel inside (Y, Cg, Co for color)."""
+    from ric_tpu.config import SHIFT
+
+    tx, ty = tiles
+    _, pcfg = pad_for_grid(
+        np.zeros((cfg.height, cfg.width), np.uint8), cfg, tx, ty)
+    per_tile = tiles[0] * tiles[1]
+    nch = cfg.channels
+
+    def plane_sub(c):
+        out = []
+        for t in range(per_tile):
+            base = t * nch * 2 + c * 2
+            out.append(streams[base])
+            out.append(streams[base + 1])
+        return out
+
+    if nch == 3:
+        y = _decode_plane_mode2(plane_sub(0), pcfg, False, tx, ty)
+        cgp = _decode_plane_mode2(plane_sub(1), pcfg, True, tx, ty)
+        cop = _decode_plane_mode2(plane_sub(2), pcfg, True, tx, ty)
+        rgb = image_codec.ycocg_to_rgb(
+            jnp.asarray(y), jnp.asarray(cop), jnp.asarray(cgp),
+            0 if cfg.lossless else SHIFT)
+        out = np.asarray(rgb).astype(np.int32)
+        return out[: cfg.height, : cfg.width]
+    x = _decode_plane_mode2(plane_sub(0), pcfg, False, tx, ty)
+    x = x[: cfg.height, : cfg.width]
+    mid = 1 << (cfg.input_depth - 1)
+    peak = (1 << cfg.input_depth) - 1
+    if cfg.lossless:
+        return (x + mid).astype(np.int32)
+    if cfg.input_depth == 8:
+        x = mid + ((x + (1 << (SHIFT - 1))) >> SHIFT)
+    else:
+        x = x + mid
+    return np.clip(x, 0, peak).astype(np.int32)

@@ -47,12 +47,13 @@ class CorruptStream(ValueError):
 
 def write_container(cfg: CodecConfig, streams: list[bytes],
                     tiles: tuple[int, int] = (1, 1),
-                    archival: bool = False) -> bytes:
+                    archival: bool = False, mode2: bool = False) -> bytes:
     flags = (1 if cfg.channels == 3 else 0)
     flags |= (int(cfg.transform) & 3) << 1
     flags |= (1 if cfg.input_depth == 16 else 0) << 3
     flags |= (1 if archival else 0) << 4
     flags |= 1 << 5  # per-substream CRC32 table present
+    flags |= (1 if mode2 else 0) << 6  # global-DWT (mode-2) tile grid
     head = struct.pack(
         "<4sBBBBIIHHBBBB",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
@@ -69,7 +70,7 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
 
 
 def read_container(data: bytes):
-    """Returns (cfg, streams, tiles, archival)."""
+    """Returns (cfg, streams, tiles, archival, mode2)."""
     if data[:4] != MAGIC:
         raise BadMagic("bad magic (expected RTP1)")
     (_, version, flags, quant, levels, width, height, tx, ty,
@@ -111,4 +112,5 @@ def read_container(data: bytes):
                 )
         streams.append(s)
         off += ln + ((-ln) % 4)
-    return cfg, streams, (tx, ty), bool((flags >> 4) & 1)
+    mode2 = bool((flags >> 6) & 1)
+    return cfg, streams, (tx, ty), bool((flags >> 4) & 1), mode2

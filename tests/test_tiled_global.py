@@ -87,3 +87,60 @@ def test_tiled_global_arbitrary_size_lossless(rng):
     out = tiling.decode_image_tiled_global_any(streams, cfg, pcfg, mesh)
     assert out.shape == (h, w)
     np.testing.assert_array_equal(out, x)
+
+
+def test_mode2_container_roundtrip_color(rng):
+    """Mode-2 product surface: RGB image -> mode-2 container (single
+    device, no mesh) -> decode_image routing -> exact pixels."""
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+    from ric_tpu.parallel import tiling
+
+    h, w = 70, 150  # arbitrary dims: pad_for_grid handles the grid
+    img = np.clip(
+        128 + 40 * rng.standard_normal((h, w, 3)), 0, 255
+    ).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, channels=3, quant=0,
+                      transform=Transform.CDF53, levels=2)
+    data = tiling.encode_image_tiled_global_container(img, cfg, tiles=(2, 2))
+    out = image_codec.decode_image(data)
+    assert out.shape == (h, w, 3)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_mode2_container_mesh_matches_single_device(rng):
+    """The mesh (halo-DWT) and single-device mode-2 encoders must produce
+    byte-identical containers; decode needs no mesh."""
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+    from ric_tpu.parallel import tiling
+    from ric_tpu.parallel.mesh import make_mesh
+
+    h, w = 64, 128
+    img = np.clip(
+        128 + 40 * rng.standard_normal((h, w)), 0, 255).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, quant=0,
+                      transform=Transform.CDF97, levels=2)
+    mesh = make_mesh(2, dp=1)  # sp=2
+    d_mesh = tiling.encode_image_tiled_global_container(
+        img, cfg, tiles=(2, 1), mesh=mesh)
+    d_single = tiling.encode_image_tiled_global_container(
+        img, cfg, tiles=(2, 1))
+    assert d_mesh == d_single
+    out = image_codec.decode_image(d_mesh)
+    np.testing.assert_array_equal(out, img.astype(np.int32))
+
+
+def test_mode2_container_16bit(rng):
+    """Mode-2 with 16-bit input depth round-trips losslessly."""
+    from ric_tpu.config import CodecConfig, Transform
+    from ric_tpu.models import image_codec
+    from ric_tpu.parallel import tiling
+
+    h, w = 64, 64
+    img = rng.integers(0, 1 << 16, size=(h, w)).astype(np.uint16)
+    cfg = CodecConfig(width=w, height=h, quant=0,
+                      transform=Transform.CDF53, levels=2, input_depth=16)
+    data = tiling.encode_image_tiled_global_container(img, cfg, tiles=(2, 1))
+    out = image_codec.decode_image(data)
+    np.testing.assert_array_equal(out, img.astype(np.int32))

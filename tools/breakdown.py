@@ -39,9 +39,7 @@ def main():
     x = (img.astype(np.int32) - 128) << (0 if quant == 0 else SHIFT)
     hist, rawbits, diag = fn(jnp.asarray(x, jnp.int32))
     hist = np.asarray(hist, np.float64)
-    freqs = np.frombuffer(
-        tbl.get_freqs(tbl.rate_bucket(quant)), np.int32
-    ).reshape(tbl.N_TABLES, tbl.ALPHABET).astype(np.float64)
+    freqs = tbl.coarse_np(tbl.rate_bucket(quant)).astype(np.float64)
     p = freqs / 4096.0
     with np.errstate(divide="ignore"):
         bits_tbl = np.where(hist > 0, hist * -np.log2(np.maximum(p, 1e-12)), 0)

@@ -61,7 +61,7 @@ def main():
     capA = ic._cap_words_a(cfg)
     cap16 = ic._cap_words16(plans, L)
     image_tables = ic._use_image_tables(cfg)
-    static_tables = tbl.get_dense_tables(tbl.rate_bucket(cfg.quant))
+    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant))
 
     img = synthetic(N, N)
     x = jnp.asarray(img).astype(jnp.int32) - 128
@@ -97,7 +97,7 @@ def main():
     def full(x):
         pay = ic._plane_payload(cfg, plans, x)
         return ic._payload_to_streams(
-            plans, L, capA, cap16, image_tables, static_tables, pay)
+            plans, L, capA, cap16, image_tables, tctx, pay)
 
     t_pay = timeit(payload_only, x)
     t_tab = timeit(through_tables, x)

@@ -78,7 +78,7 @@ def main():
     rng = np.random.default_rng(42)
     # (2, buckets, tables, alphabet): [0] luma/gray stats, [1] chroma
     hists = np.zeros(
-        (2, tbl.N_BUCKETS, tbl.N_TABLES, tbl.ALPHABET), np.float64)
+        (2, tbl.N_BUCKETS, tbl.N_FINE, tbl.ALPHABET), np.float64)
     h = w = 512
     imgs = corpus(rng, h, w) + natural_corpus(h, w)
     for img in imgs:
@@ -87,12 +87,12 @@ def main():
                 trans = Transform.CDF53 if quant == 0 else Transform.CDF97
                 cfg = CodecConfig(width=w, height=h, quant=quant,
                                   transform=trans)
-                fn = image_codec.build_plane_stats(cfg, False)
+                fn = image_codec.build_plane_stats_fine(cfg, False)
                 if quant == 0:
                     x = img.astype(np.int32) - 128
                 else:
                     x = (img.astype(np.int32) - 128) << SHIFT
-                hcounts, rawbits, _diag = fn(jnp.asarray(x, jnp.int32))
+                hcounts = fn(jnp.asarray(x, jnp.int32))
                 hists[0, bucket] += np.asarray(hcounts, np.float64)
         print(f"luma image done; total syms {hists.sum():.3e}", flush=True)
     # chroma stats: Cg/Co planes of the color corpus under the chroma
@@ -104,11 +104,11 @@ def main():
                 trans = Transform.CDF53 if quant == 0 else Transform.CDF97
                 cfg = CodecConfig(width=w, height=h, quant=quant,
                                   transform=trans, channels=3)
-                fn = image_codec.build_plane_stats(cfg, True)
+                fn = image_codec.build_plane_stats_fine(cfg, True)
                 y, co, cg = image_codec.rgb_to_ycocg(
                     x32, 0 if quant == 0 else SHIFT)
                 for plane in (cg, co):
-                    hcounts, rawbits, _diag = fn(plane)
+                    hcounts = fn(plane)
                     hists[1, bucket] += np.asarray(hcounts, np.float64)
         print(f"chroma image done; total syms {hists.sum():.3e}", flush=True)
     np.savez(out, counts=hists)
