@@ -177,13 +177,12 @@ def _make_rewire(L: int, cap16: int):
     (lane states + u16 word stream), no host round trip."""
 
     def rewire(wB):
-        states = wB[:L]
-        body = wB[L:]
-        inter = jnp.stack(
-            [body & jnp.uint32(0xFFFF), body >> 16], axis=1
-        ).reshape(-1)
+        # wB is uint16 wire layout: [2L state halves][u16 words]
+        states = jax.lax.bitcast_convert_type(
+            wB[: 2 * L].reshape(L, 2), jnp.uint32)
+        body = wB[2 * L :].astype(jnp.uint32)
         s16 = jnp.zeros((cap16,), jnp.uint32)
-        s16 = s16.at[: inter.shape[0]].set(inter[:cap16])
+        s16 = s16.at[: body.shape[0]].set(body[:cap16])
         return states, s16
 
     return rewire
@@ -320,8 +319,15 @@ def encode_video(frames: np.ndarray, quant: int = 9,
     color = frames.ndim == 4
     n, h, w = frames.shape[:3]
     channels = 3 if color else 1
-    assert h % 8 == 0 and w % 8 == 0, "video dims must be multiples of 8"
-    key_enc, p_enc, _, _ = _frame_fns(w, h, quant, channels, n_refs)
+    # arbitrary dims: edge-replicate pad to the 8x8 MV-block grid (the
+    # reference handles this with its BORDER=15 frame margin,
+    # image.cpp:56-68); the header keeps the true dims, decode crops.
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    if (hp, wp) != (h, w):
+        pad = ((0, 0), (0, hp - h), (0, wp - w)) + (
+            ((0, 0),) if color else ())
+        frames = np.pad(frames, pad, mode="edge")
+    key_enc, p_enc, _, _ = _frame_fns(wp, hp, quant, channels, n_refs)
 
     out = [struct.pack("<4sBBBHIIB", MAGIC, VERSION, 1 if color else 0,
                        quant, gop, w, h, n_refs)]
@@ -365,11 +371,12 @@ def decode_video(data: bytes) -> np.ndarray:
     assert magic == MAGIC and version == VERSION
     (n,) = struct.unpack("<I", data[18:22])
     channels = 3 if color else 1
-    cfg = _frame_cfg(w, h, quant)
-    _, _, key_dec, p_dec = _frame_fns(w, h, quant, channels, n_refs)
-    gy, gx = h // 8, w // 8
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    cfg = _frame_cfg(wp, hp, quant)
+    _, _, key_dec, p_dec = _frame_fns(wp, hp, quant, channels, n_refs)
+    gy, gx = hp // 8, wp // 8
     off = 22
-    shape = (n, h, w, 3) if color else (n, h, w)
+    shape = (n, hp, wp, 3) if color else (n, hp, wp)
     frames = np.empty(shape, np.uint8)
     ring = None
     nlen = 1 + 2 * channels
@@ -390,4 +397,4 @@ def decode_video(data: bytes) -> np.ndarray:
             mvy, mvx, intra, refidx = decode_mv(mv, gy, gx, n_refs)
             ring = p_dec(wAs, states, s16s, mvy, mvx, refidx, intra, ring)
         frames[t] = _frame_to_pixels(ring[0], channels)
-    return frames
+    return frames[:, :h, :w]

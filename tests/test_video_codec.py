@@ -125,3 +125,22 @@ def test_yv12_output():
     co2 = jnp.full((4, 4), 127 << 3, jnp.int32)
     _, v2, u2 = image_codec.ycocg_to_yv12(y, co2, cg)
     assert int(v2[0, 0]) > 128 and int(u2[0, 0]) < 128
+
+
+def test_video_arbitrary_dims(rng):
+    """Non-multiple-of-8 frames pad internally (reference handles these
+    via its BORDER margin, image.cpp:56-68) and crop back on decode."""
+    from ric_tpu.models import video_codec
+
+    n, h, w = 4, 37, 53
+    t = np.arange(n)[:, None, None]
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = np.clip(
+        128 + 60 * np.sin((xx + 3 * t) / 9.0) * np.cos(yy / 7.0)
+        + rng.normal(0, 3, (n, h, w)), 0, 255).astype(np.uint8)
+    data = video_codec.encode_video(frames, quant=8, gop=3)
+    out = video_codec.decode_video(data)
+    assert out.shape == (n, h, w)
+    err = out.astype(np.float64) - frames.astype(np.float64)
+    psnr = 10 * np.log10(255.0**2 / max(np.mean(err * err), 1e-9))
+    assert psnr > 30.0, f"PSNR {psnr:.1f}"

@@ -63,12 +63,12 @@ def main():
 
     @jax.jit
     def rewire(wA, wB):
-        states = wB[:L]
-        body = wB[L:]
-        inter = jnp.stack(
-            [body & jnp.uint32(0xFFFF), body >> 16], axis=1).reshape(-1)
+        # wB is uint16 wire layout: [2L state halves][u16 words]
+        states = jax.lax.bitcast_convert_type(
+            wB[: 2 * L].reshape(L, 2), jnp.uint32)
+        body = wB[2 * L :].astype(jnp.uint32)
         s16 = jnp.zeros((cap16,), jnp.uint32)
-        s16 = s16.at[: inter.shape[0]].set(inter[:cap16])
+        s16 = s16.at[: body.shape[0]].set(body[:cap16])
         return wA, states, s16
 
     @jax.jit
