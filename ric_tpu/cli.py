@@ -60,9 +60,10 @@ def main(argv=None) -> int:
                          "per-tile entropy substreams; encodes on one "
                          "device or a device mesh, decodes anywhere")
     ap.add_argument("--profile", default="rans",
-                    choices=("rans", "archival"),
+                    choices=("rans", "archival", "dct"),
                     help="rans: parallel TPU profile; archival: serial "
-                         "adaptive range coder (max compression)")
+                         "adaptive range coder (max compression); dct: "
+                         "lapped binDCT intra profile (lossy)")
     ap.add_argument("--lanes", type=int, default=-1,
                     help="log2 rANS lane count (speed/rate knob; "
                          "default: rate-aware auto)")
@@ -82,7 +83,7 @@ def main(argv=None) -> int:
         img = image_codec.decode_image(data, dither=args.dither)
         from ric_tpu.utils.container import read_container
 
-        cfg, _, _, _, _ = read_container(data)
+        cfg = read_container(data)[0]
         dt = np.uint16 if cfg.input_depth == 16 else np.uint8
         pnm.write_pnm(out, img.astype(dt))
         return 0
@@ -108,6 +109,10 @@ def main(argv=None) -> int:
     elif args.tiles:
         tx, ty = (int(v) for v in args.tiles.lower().split("x"))
         data = image_codec.encode_image_tiles(img, cfg, tiles=(tx, ty))
+    elif args.profile == "dct":
+        from ric_tpu.models import dct_codec
+
+        data = dct_codec.encode_image_dct(img, cfg)
     else:
         data = image_codec.encode_image(img, cfg, profile=args.profile)
     out = args.outfile

@@ -254,9 +254,11 @@ NORM = np.array(
 )
 
 
-def dct_quant_table(quant: int) -> np.ndarray:
-    """Per-frequency quant steps (dct2d.cpp:332-339)."""
-    q = (quant + 1) >> 1
+def dct_quant_table(q: int) -> np.ndarray:
+    """Per-frequency quant steps from a base quantizer STEP (the
+    reference's dct2d.cpp:332-339 shape; callers pass the working-domain
+    step, e.g. quant_step(q_index + SHIFT*5) — calibrated so the DCT
+    profile's PSNR tracks the wavelet profile at the same -q index)."""
     tab = np.empty((8, 8), np.int32)
     for j in range(8):
         for i in range(8):

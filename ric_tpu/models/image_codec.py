@@ -1235,7 +1235,7 @@ def decode_batch(datas: list[bytes], mesh=None) -> np.ndarray:
     dp-sharded."""
     parsed = [container.read_container(d) for d in datas]
     cfg = parsed[0][0]
-    for c, _, tiles, arch, _m2 in parsed:
+    for c, _, tiles, arch, _m2, _d in parsed:
         if c != cfg or tiles != (1, 1) or arch:
             raise ValueError("decode_batch needs same-config untiled "
                              "rans-profile containers")
@@ -1366,7 +1366,12 @@ def decode_plane_streams(streams: list[bytes], cfg: CodecConfig,
 
 
 def decode_image(data: bytes, dither: bool = False) -> np.ndarray:
-    cfg, streams, tiles, archival, mode2 = container.read_container(data)
+    (cfg, streams, tiles, archival, mode2,
+     dctp) = container.read_container(data)
+    if dctp:
+        from ric_tpu.models import dct_codec
+
+        return dct_codec.decode_image_dct(cfg, streams)
     if tiles != (1, 1):
         # tiled containers carry per-tile substreams; route to the tiled
         # decoder (parallel/tiling.py) which reconstructs per-tile configs

@@ -47,13 +47,15 @@ class CorruptStream(ValueError):
 
 def write_container(cfg: CodecConfig, streams: list[bytes],
                     tiles: tuple[int, int] = (1, 1),
-                    archival: bool = False, mode2: bool = False) -> bytes:
+                    archival: bool = False, mode2: bool = False,
+                    dct: bool = False) -> bytes:
     flags = (1 if cfg.channels == 3 else 0)
     flags |= (int(cfg.transform) & 3) << 1
     flags |= (1 if cfg.input_depth == 16 else 0) << 3
     flags |= (1 if archival else 0) << 4
     flags |= 1 << 5  # per-substream CRC32 table present
     flags |= (1 if mode2 else 0) << 6  # global-DWT (mode-2) tile grid
+    flags |= (1 if dct else 0) << 7  # lapped-binDCT coding profile
     head = struct.pack(
         "<4sBBBBIIHHBBBB",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
@@ -70,7 +72,7 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
 
 
 def read_container(data: bytes):
-    """Returns (cfg, streams, tiles, archival, mode2)."""
+    """Returns (cfg, streams, tiles, archival, mode2, dct)."""
     if data[:4] != MAGIC:
         raise BadMagic("bad magic (expected RTP1)")
     (_, version, flags, quant, levels, width, height, tx, ty,
@@ -113,4 +115,5 @@ def read_container(data: bytes):
         streams.append(s)
         off += ln + ((-ln) % 4)
     mode2 = bool((flags >> 6) & 1)
-    return cfg, streams, (tx, ty), bool((flags >> 4) & 1), mode2
+    dctp = bool((flags >> 7) & 1)
+    return cfg, streams, (tx, ty), bool((flags >> 4) & 1), mode2, dctp

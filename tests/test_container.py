@@ -15,7 +15,7 @@ def test_crc_roundtrip_and_corruption():
     cfg = CodecConfig(width=16, height=16)
     streams = [b"hello world!", b"stream two bytes"]
     data = container.write_container(cfg, streams)
-    cfg2, out, tiles, arch, _m2 = container.read_container(data)
+    cfg2, out, tiles, arch, _m2, _d = container.read_container(data)
     assert out == streams and not arch
     # flip a byte inside the second substream
     bad = bytearray(data)
@@ -85,7 +85,7 @@ def test_lanes_override_roundtrip(rng):
     cfg = CodecConfig(width=64, height=48, quant=0,
                       transform=Transform.CDF53, levels=2, lanes_log2=8)
     data = image_codec.encode_image(img, cfg)
-    cfg2, _, _, _, _ = container.read_container(data)
+    cfg2 = container.read_container(data)[0]
     assert cfg2.lanes_log2 == 8
     out = image_codec.decode_image(data)
     np.testing.assert_array_equal(out, img.astype(np.int32))

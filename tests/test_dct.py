@@ -45,3 +45,43 @@ def test_dct_quant_reconstruction(rng):
     # reconstruction error bounded by quantizer coarseness
     rms = float(np.sqrt(np.mean((y - x) ** 2)))
     assert rms < 48, rms
+
+
+def test_dct_profile_roundtrip_gray(rng):
+    """End-to-end DCT coding profile: container flags bit 7, lossy
+    roundtrip with reasonable quality (VERDICT r3 item 7)."""
+    from ric_tpu.config import CodecConfig
+    from ric_tpu.models import dct_codec, image_codec
+
+    h, w = 61, 75  # arbitrary dims: internal pad to 8
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.clip(
+        128 + 60 * np.sin(xx / 9.0) * np.cos(yy / 7.0)
+        + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, quant=9)
+    data = dct_codec.encode_image_dct(img, cfg)
+    out = image_codec.decode_image(data)
+    assert out.shape == (h, w)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 28.0, f"DCT profile PSNR {psnr:.2f}"
+    # coarser quant shrinks the stream
+    cfg2 = CodecConfig(width=w, height=h, quant=20)
+    data2 = dct_codec.encode_image_dct(img, cfg2)
+    assert len(data2) < len(data)
+
+
+def test_dct_profile_roundtrip_color(rng):
+    from ric_tpu.config import CodecConfig
+    from ric_tpu.models import dct_codec, image_codec
+
+    h, w = 48, 64
+    img = np.clip(
+        128 + 40 * rng.standard_normal((h, w, 3)), 0, 255).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, channels=3, quant=9)
+    data = dct_codec.encode_image_dct(img, cfg)
+    out = image_codec.decode_image(data)
+    assert out.shape == (h, w, 3)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 25.0, f"DCT color PSNR {psnr:.2f}"
