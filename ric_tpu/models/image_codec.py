@@ -147,24 +147,40 @@ def _lanes(cfg: CodecConfig) -> int:
     # runtime); small images take the tighter rate budget
     frac = 0.015 if npix >= (1 << 22) else 0.0075
     cap = int(est_bytes * frac / 4)
-    l = 1 << max(6, cap.bit_length() - 1)
+    # floor: 64 lanes for the video path (per-frame latency matters),
+    # 32 for stills — at bucket-3 rates a 512^2 stream is a few KB and
+    # the 4 B/lane flush is the dominant fixed cost
+    floor = 6 if cfg.q_step >= 0 else 5
+    l = 1 << max(floor, cap.bit_length() - 1)
     return min(32768, l)
 
 
 def _use_image_tables(cfg: CodecConfig) -> bool:
-    """Two-pass per-image rANS tables: worth their ~1.6 KB stream cost for
-    big enough streams. Static rule, both sides agree.
+    """Static CANDIDACY for the per-image two-pass table section. When
+    true, the encoder computes the coarse histogram and decides IN-GRAPH
+    whether the section pays (measured coarse KL gain vs the delta-coded
+    section's actual bit cost — smooth/sparse images at 512^2 were paying
+    a 4-10% section for less gain, r3 corpus sweep); when it does not,
+    stream A is empty and the decoder's unconditional modulated path
+    collapses exactly to the static fine tables (zero deltas ->
+    modulate(fine, stat, stat) == fine, integer-exact).
+
+    Candidates: big enough planes at buckets 0..2, plus mid-size planes at
+    bucket 3 (huge bucket-3 planes skip the histogram pass — it would cost
+    encode throughput where rate is already tiny).
 
     (Measured alternative: per-band table EVOLUTION — both sides deriving
     tables from already-decoded symbols, no table section at all — was
     tried and codes hopper q0 at 4.668 bpp shared / 4.772 per-orient-chain
-    vs 4.631 for these transmitted per-image tables: band statistics shift
+    vs 4.631 for transmitted per-image tables: band statistics shift
     too much across levels for cross-band adaptation to pay. The reference
     adapts WITHIN bands serially, which a parallel decoder cannot.)"""
-    return (
-        cfg.width * cfg.height >= (1 << 18)
-        and tbl.rate_bucket(cfg.quant) <= 2
-    )
+    npix = cfg.width * cfg.height
+    if npix < (1 << 18):
+        return False
+    if tbl.rate_bucket(cfg.quant) <= 2:
+        return True
+    return npix < (1 << 22)
 
 
 # static row-major list of valid (table, symbol) positions for serialization
@@ -599,9 +615,23 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
     if image_tables:
         hist = _hist_from_payload(payload)
         q_img = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
-        enc_tables = _modulated_tables(tctx, q_img)
-        wordsA, totalA = _pack_table_section(
-            q_img, jnp.asarray(tctx["coarse"]), capA)
+        mod_tables = _modulated_tables(tctx, q_img)
+        stat_c = jnp.asarray(tctx["coarse"])
+        wordsA, totalA = _pack_table_section(q_img, stat_c, capA)
+        # in-graph section decision: coarse KL gain of the per-image
+        # tables vs the section's actual bit cost. When it does not pay
+        # (smooth/sparse content at moderate sizes), send NO section —
+        # the decoder's modulated path degrades exactly to the static
+        # fine tables on an all-zero-delta unpack.
+        h = hist.astype(jnp.float32)
+        gain_bits = jnp.sum(h * (
+            jnp.log2(jnp.maximum(q_img, 1).astype(jnp.float32))
+            - jnp.log2(jnp.maximum(stat_c, 1).astype(jnp.float32))))
+        use = gain_bits > totalA.astype(jnp.float32) + 128.0
+        enc_tables = jax.tree_util.tree_map(
+            lambda m, s: jnp.where(use, m, s), mod_tables, tctx["dense"])
+        wordsA = jnp.where(use, wordsA, 0)
+        totalA = jnp.where(use, totalA, 0)
     else:
         enc_tables = tctx["dense"]
         wordsA = jnp.zeros((capA,), jnp.uint32)
@@ -872,7 +902,13 @@ def _pyramid_from_coeffs(coeffs, nlev):
 
 def _streams_to_coeffs(plans, L, nlev, image_tables, tctx,
                        wordsA, states, stream16, sparse=False):
-    """Shared decoder head: parsed stream arrays -> band coefficients."""
+    """Shared decoder head: parsed stream arrays -> band coefficients.
+
+    `image_tables` marks static section CANDIDACY (must match the
+    encoder's _use_image_tables); candidates run the modulated path
+    unconditionally — an absent section unpacks to all-zero deltas, and
+    modulate(fine, stat, stat) == fine exactly, so the same graph decodes
+    both per-image-table and static streams."""
     if image_tables:
         q_img = _unpack_table_section(wordsA, jnp.asarray(tctx["coarse"]))
         dtables = _modulated_tables(tctx, q_img)

@@ -104,3 +104,22 @@ def test_high_quant_sparse_decode_matches_dense(rng, monkeypatch):
         lambda cfg, chroma: image_codec.build_decode_plane(cfg, chroma))
     out_dense = image_codec.decode_image(data)
     np.testing.assert_array_equal(out_sparse, out_dense)
+
+
+def test_section_decision_static_stream_decodes(rng):
+    """The in-graph section decision: a candidate config whose section
+    doesn't pay sends an empty A stream, and the decoder's unconditional
+    modulated path must still decode exactly (zero-delta unpack == static
+    fine tables)."""
+    from ric_tpu.models import tables as tbl
+    from ric_tpu.ops import rans as rops
+    import jax.numpy as jnp
+
+    # direct exactness pin (all buckets), independent of content
+    for bucket in range(4):
+        fine = jnp.asarray(tbl.fine_np(bucket))
+        stat = jnp.asarray(tbl.coarse_np(bucket))
+        out = rops.modulate_tables(
+            fine, stat, stat, jnp.asarray(tbl.COARSE_OF),
+            jnp.asarray(tbl._VALID_FINE))
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(fine))

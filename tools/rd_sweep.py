@@ -71,15 +71,18 @@ def sweep(img, name):
         print(f"  q{q:2d}: ours {bo:.3f} bpp {po:5.2f} dB | "
               f"ref {br:.3f} bpp {pr:5.2f} dB | rate x{bo/br:.3f}",
               flush=True)
+    deltas = {}
     for target in TARGETS:
         po = _interp(ours, target)
         pr = _interp(ref, target)
         if po is None or pr is None:
             continue
+        deltas[target] = po - pr
         print(
             f"  {target:4.2f} bpp | ours {po:6.2f} dB | ref {pr:6.2f} dB "
-            f"| delta {po - pr:+5.2f} dB"
+            f"| delta {po - pr:+5.2f} dB", flush=True
         )
+    return deltas
 
 
 def main():
@@ -89,11 +92,30 @@ def main():
         QS = [int(v) for v in args[0].split("=")[1].split(",")]
         args = args[1:]
     paths = args or sorted(glob.glob("corpus/*.pgm"))
+    all_d = {}
     for p in paths:
         img = pnm.read_pnm(p)
         if img.ndim == 3:
             continue
-        sweep(img, p)
+        all_d[p] = sweep(img, p)
+    # summary table (PARITY.md corpus sweep)
+    print("\n== summary: matched-rate PSNR delta (ours - ref, dB)")
+    hdr = "image".ljust(24) + "".join(f"{t:>9.2f}" for t in TARGETS)
+    print(hdr + "  (bpp targets)")
+    sums = {t: [] for t in TARGETS}
+    for p, d in all_d.items():
+        row = p.split("/")[-1].ljust(24)
+        for t in TARGETS:
+            if t in d:
+                row += f"{d[t]:+9.2f}"
+                sums[t].append(d[t])
+            else:
+                row += "        -"
+        print(row)
+    row = "MEAN".ljust(24)
+    for t in TARGETS:
+        row += (f"{np.mean(sums[t]):+9.2f}" if sums[t] else "        -")
+    print(row, flush=True)
 
 
 if __name__ == "__main__":
