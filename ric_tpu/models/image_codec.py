@@ -187,44 +187,72 @@ def _use_image_tables(cfg: CodecConfig) -> bool:
 _VALID_POS = np.argwhere(tbl._VALID)
 _N_VALID = len(_VALID_POS)
 # table section: per-image COARSE tables delta-coded against the static
-# coarse projection (both sides know it): per entry a 4-bit bitlen prefix
-# of zigzag(delta), then bitlen-1 bits with the leading 1 implicit
-# (delta 0 -> prefix 0, no body). Deltas are mostly tiny, so this runs far
-# under the flat 12-bit layout; worst case is 4 + 12 bits per entry.
-_TABLE_SECTION_BITS = _N_VALID * 17
+# coarse projection (both sides know it). Layout: a 64-bit row-presence
+# bitmap (each coarse table row is transmitted ONLY when its per-row KL
+# gain beats its own bit cost — the encoder decides in-graph, the decoder
+# reads the bitmap; absent rows mean zero deltas = the static row), then
+# per transmitted entry a 4-bit bitlen prefix of zigzag(delta), then
+# bitlen-1 body bits with the leading 1 implicit. Worst case 64 + 16/entry.
+_TABLE_SECTION_BITS = 64 + _N_VALID * 17
 
 
-def _pack_table_section(freq, stat, capA):
-    """freq, stat (N_TABLES, ALPHABET) int32 -> (wordsA, totalA)."""
+def _table_deltas(freq, stat):
     rows = jnp.asarray(_VALID_POS[:, 0])
     cols = jnp.asarray(_VALID_POS[:, 1])
     d = freq[rows, cols] - stat[rows, cols]
     zz = (d << 1) ^ (d >> 31)
     blen = bitlen(zz)
+    return rows, zz, blen
+
+
+def _pack_table_section(freq, stat, keep, capA):
+    """freq/stat (N_TABLES, ALPHABET) int32, keep (N_TABLES,) bool ->
+    (wordsA, totalA). Entries of dropped rows are skipped entirely."""
+    rows, zz, blen = _table_deltas(freq, stat)
+    ek = keep[rows]
     body = zz - jnp.where(
         blen > 0, jnp.int32(1) << jnp.maximum(blen - 1, 0), 0)
-    vals = jnp.concatenate([blen, body])
-    lens = jnp.concatenate(
-        [jnp.full((_N_VALID,), 4, jnp.int32), jnp.maximum(blen - 1, 0)])
+    kb = keep.astype(jnp.uint32)
+    bits = jnp.arange(64, dtype=jnp.uint32) % 32
+    bm = kb << bits
+    bm_lo = jnp.sum(jnp.where(jnp.arange(64) < 32, bm, 0)).astype(jnp.int32)
+    bm_hi = jnp.sum(jnp.where(jnp.arange(64) >= 32, bm, 0)).astype(jnp.int32)
+    vals = jnp.concatenate(
+        [jnp.stack([bm_lo, bm_hi]), blen, body])
+    lens = jnp.concatenate([
+        jnp.full((2,), 32, jnp.int32),
+        jnp.where(ek, 4, 0),
+        jnp.where(ek, jnp.maximum(blen - 1, 0), 0),
+    ])
     return bitpack.pack(vals, lens, capA)
 
 
 def _unpack_table_section(wordsA, stat):
-    """wordsA -> freq (N_TABLES, ALPHABET) int32 (two fixed passes: the
-    4-bit prefixes at static offsets, then the bodies at their prefix-sum
-    offsets — no serial walk)."""
+    """wordsA -> freq (N_TABLES, ALPHABET) int32 (three fixed passes: the
+    64-bit row bitmap, the 4-bit prefixes at bitmap-rank offsets, then the
+    bodies at their prefix-sum offsets — no serial walk). An all-zero
+    buffer (no section sent) yields freq == stat exactly."""
     n = _N_VALID
-    pref = bitpack.unpack(
-        wordsA, jnp.arange(n, dtype=jnp.int32) * 4,
-        jnp.full((n,), 4, jnp.int32)).astype(jnp.int32)
+    bm2 = bitpack.unpack(
+        wordsA, jnp.asarray([0, 32], jnp.int32),
+        jnp.full((2,), 32, jnp.int32)).astype(jnp.uint32)
+    ridx = jnp.arange(tbl.N_TABLES, dtype=jnp.int32)
+    keep = jnp.where(
+        ridx < 32, (bm2[0] >> (ridx % 32)) & 1, (bm2[1] >> (ridx % 32)) & 1
+    ).astype(bool)
+    rows = jnp.asarray(_VALID_POS[:, 0])
+    cols = jnp.asarray(_VALID_POS[:, 1])
+    ek = keep[rows]
+    plens = jnp.where(ek, 4, 0)
+    poffs, ptot = bitpack.excl_cumsum(plens)
+    pref = jnp.where(ek, bitpack.unpack(
+        wordsA, 64 + poffs, plens).astype(jnp.int32), 0)
     blens = jnp.maximum(pref - 1, 0)
     offs, _ = bitpack.excl_cumsum(blens)
-    body = bitpack.unpack(wordsA, n * 4 + offs, blens).astype(jnp.int32)
+    body = bitpack.unpack(wordsA, 64 + ptot + offs, blens).astype(jnp.int32)
     zz = jnp.where(
         pref > 0, (jnp.int32(1) << jnp.maximum(pref - 1, 0)) | body, 0)
     d = (zz >> 1) ^ -(zz & 1)
-    rows = jnp.asarray(_VALID_POS[:, 0])
-    cols = jnp.asarray(_VALID_POS[:, 1])
     freq = jnp.zeros((tbl.N_TABLES, tbl.ALPHABET), jnp.int32)
     return freq.at[rows, cols].set(stat[rows, cols] + d)
 
@@ -615,23 +643,28 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
     if image_tables:
         hist = _hist_from_payload(payload)
         q_img = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
-        mod_tables = _modulated_tables(tctx, q_img)
         stat_c = jnp.asarray(tctx["coarse"])
-        wordsA, totalA = _pack_table_section(q_img, stat_c, capA)
-        # in-graph section decision: coarse KL gain of the per-image
-        # tables vs the section's actual bit cost. When it does not pay
-        # (smooth/sparse content at moderate sizes), send NO section —
-        # the decoder's modulated path degrades exactly to the static
-        # fine tables on an all-zero-delta unpack.
+        # per-ROW in-graph section decision: each coarse table row is
+        # transmitted only when its measured KL gain beats its own bit
+        # cost (+margin). Dropped rows fall back to the static row on
+        # both sides (the decoder reads the row bitmap).
         h = hist.astype(jnp.float32)
-        gain_bits = jnp.sum(h * (
+        gain_row = jnp.sum(h * (
             jnp.log2(jnp.maximum(q_img, 1).astype(jnp.float32))
-            - jnp.log2(jnp.maximum(stat_c, 1).astype(jnp.float32))))
-        use = gain_bits > totalA.astype(jnp.float32) + 128.0
-        enc_tables = jax.tree_util.tree_map(
-            lambda m, s: jnp.where(use, m, s), mod_tables, tctx["dense"])
-        wordsA = jnp.where(use, wordsA, 0)
-        totalA = jnp.where(use, totalA, 0)
+            - jnp.log2(jnp.maximum(stat_c, 1).astype(jnp.float32))),
+            axis=1)
+        rows_e, zz, blen = _table_deltas(q_img, stat_c)
+        ecost = (4 + jnp.maximum(blen - 1, 0)).astype(jnp.float32)
+        cost_row = jnp.zeros((tbl.N_TABLES,), jnp.float32).at[rows_e].add(
+            ecost)
+        keep = gain_row > cost_row + 16.0
+        q_eff = jnp.where(keep[:, None], q_img, stat_c)
+        mod_tables = _modulated_tables(tctx, q_eff)
+        wordsA, totalA = _pack_table_section(q_img, stat_c, keep, capA)
+        any_keep = jnp.any(keep)
+        enc_tables = mod_tables
+        wordsA = jnp.where(any_keep, wordsA, 0)
+        totalA = jnp.where(any_keep, totalA, 0)
     else:
         enc_tables = tctx["dense"]
         wordsA = jnp.zeros((capA,), jnp.uint32)
