@@ -456,17 +456,31 @@ def _tile_coeff_decoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
     return jax.jit(dec), names, plans, L
 
 
+@functools.lru_cache(maxsize=16)
+def _cached_dwt(transform, levels):
+    from ric_tpu.config import Transform
+    from ric_tpu.ops import lifting
+
+    return jax.jit(
+        lambda x: lifting.dwt(x, Transform(transform), levels))
+
+
+@functools.lru_cache(maxsize=16)
+def _cached_idwt(transform, width, height):
+    from ric_tpu.config import Transform
+    from ric_tpu.ops import lifting
+
+    return jax.jit(
+        lambda p: lifting.idwt(p, width, height, Transform(transform)))
+
+
 def _encode_plane_mode2(plane, pcfg: CodecConfig, chroma: bool,
                         tx: int, ty: int):
     """Single-device mode-2 plane encode: global DWT once, then the shared
     per-tile entropy graph over the (ty, tx) grid. Returns per-tile
     [A, B] byte substreams in raster tile order."""
-    from ric_tpu.config import Transform
-    from ric_tpu.ops import lifting
-
-    pyr = jax.jit(
-        lambda x: lifting.dwt(x, Transform(pcfg.transform), pcfg.levels)
-    )(jnp.asarray(plane, jnp.int32))
+    pyr = _cached_dwt(pcfg.transform, pcfg.levels)(
+        jnp.asarray(plane, jnp.int32))
     enc = _tile_coeff_encoder(pcfg, chroma, tx, ty)
     streams = []
     for j in range(ty):
@@ -490,9 +504,6 @@ def _decode_plane_mode2(streams, pcfg: CodecConfig, chroma: bool,
                         tx: int, ty: int) -> np.ndarray:
     """Mesh-free mode-2 plane decode: per-tile coeffs via the shared jit,
     global band stitch, one untiled inverse DWT."""
-    from ric_tpu.config import Transform
-    from ric_tpu.ops import lifting
-
     dec, names, plans, L = _tile_coeff_decoder(pcfg, chroma, tx, ty)
     capA = image_codec._cap_words_a(_tile_cfg(pcfg, tx, ty))
     cap16 = image_codec._cap_words16(plans, L) + L + 8
@@ -522,10 +533,7 @@ def _decode_plane_mode2(streams, pcfg: CodecConfig, chroma: bool,
                 [per_tile[j * tx + i][idx] for i in range(tx)], axis=1))
         coeffs[name] = jnp.concatenate(rows, axis=0)
     pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
-    out = jax.jit(
-        lambda p: lifting.idwt(
-            p, pcfg.width, pcfg.height, Transform(pcfg.transform))
-    )(pyr)
+    out = _cached_idwt(pcfg.transform, pcfg.width, pcfg.height)(pyr)
     return np.asarray(out)
 
 
