@@ -67,7 +67,12 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
 
     crcs = struct.pack(f"<{len(streams)}I", *[crc32(s) for s in streams])
     hcrc = struct.pack("<I", crc32(head + lens + crcs))
-    body = b"".join(s + b"\x00" * ((-len(s)) % 4) for s in streams)
+    # pad for 4-byte alignment of the NEXT stream; the final one needs no
+    # tail pad (uncovered pad bytes would make 1-byte truncations silently
+    # survive the CRC check)
+    body = b"".join(
+        s + b"\x00" * (0 if i == len(streams) - 1 else (-len(s)) % 4)
+        for i, s in enumerate(streams))
     return head + lens + crcs + hcrc + body
 
 
