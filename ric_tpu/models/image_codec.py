@@ -331,6 +331,12 @@ def _coeff_size_fields(u_blk, k):
     return active, s, field, flen, ctx
 
 
+def _pml4(pml):
+    """4-class parent-maxLen for the S context (keeps the SREF scan's
+    table fetch 64 rows wide)."""
+    return ((pml > 0).astype(jnp.int32) + (pml > 2) + (pml > 5))
+
+
 def _plan_bases(p: BandPlan):
     """Static fine-table base rows for a band (level/orient/kind are static
     per band, so richer contexts cost nothing in the scan: the tid stays
@@ -484,7 +490,7 @@ def _payload_from_pyramid(plans, pyr):
             "z": z, "z_act": z_act, "sig": s_mask,
             "pat_va": va, "pat_wa": wa, "pat_vb": vb, "pat_wb": wb,
             "active": active, "s": s, "field": field, "flen": flen,
-            "sctx": sctx, "sctxf": ctx * 16 + sctx,
+            "sctx": sctx, "sctxf": _pml4(ctx) * 16 + sctx,
         })
     return payload
 
@@ -557,7 +563,7 @@ def _band_hist_fine(pay):
     else:
         hist = _hist_acc(hist, kb, pay["ctx"], pay["k"], pay["sig"], 17)
     sctx = pay["sctxf"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
-    hist = _hist_acc(hist, sb, sctx, pay["s"], pay["active"], 32, nctx=256)
+    hist = _hist_acc(hist, sb, sctx, pay["s"], pay["active"], 32, nctx=64)
     return hist.astype(jnp.int32)
 
 
@@ -609,7 +615,7 @@ def _band_rows(pay, tables, L: int):
     sctx = (pay["sctxf"][..., None]
             * jnp.ones((1, 1, 16), jnp.int32)).ravel()
     pk_s = rans.enc_pack_model(
-        rans.slice_tables(tables, sb, 256), pay["s"].ravel(), sctx, act)
+        rans.slice_tables(tables, sb, 64), pay["s"].ravel(), sctx, act)
     parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
                        _ref_phases(p))
     pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
@@ -790,7 +796,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
         if reader is None:
             ztab = rans.slice_tables(tables, zb, 16)
             ktab = rans.slice_tables(tables, kb, 16)
-            stab = rans.slice_tables(tables, sb, 256)
+            stab = rans.slice_tables(tables, sb, 64)
 
             def zk_body(carry, inp, is_ll=is_ll, is_high=is_high,
                         ztab=ztab, ktab=ktab):
@@ -855,7 +861,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
 
         # SREF (fine ctx: parML*16 + min(k-1,15); parML is the same per-
         # block ctx the ZK scan used — decoded data, both sides agree)
-        sctx = ctx * 16 + jnp.clip(k2d - 1, 0, 15)
+        sctx = _pml4(ctx) * 16 + jnp.clip(k2d - 1, 0, 15)
         sctx_cf = sctx[..., None] * jnp.ones((1, 1, 16), jnp.int32)
         act_g = rans.to_grid(active.ravel(), L, fill=False)
         sctx_g = rans.to_grid(sctx_cf.ravel(), L)

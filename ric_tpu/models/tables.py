@@ -3,16 +3,19 @@ Huffman tables, bandcodec.cpp:607-745, and its adaptive bit/geo models).
 
 Two context spaces (round-3 redesign, driven by tools/ctx_probe.py):
 
-FINE (what the scans actually code with; 1056 tables, alphabet-padded 32):
+FINE (what the scans actually code with; 480 tables, alphabet-padded 32):
   ZF + (lvlc*3+orient)*16 + parML   zerotree bit        (144 tables)
   KLF + ((lvlc-1)*3+orient)*16 + parML  k of low bands  (96)
   KHF + orient*16 + parML           k-1 of finest bands (48)
-  SF + lvlc*256 + parML*16 + min(k-1,15)  size class    (768)
+  SF + lvlc*64 + pml4*16 + min(k-1,15)   size class     (192)
 where parML = bitlen of max parent 2x2 magnitude (the reference maxLen,
-bandcodec.cpp:324-344), lvlc = min(level, 2) (0 = finest), orient V/H/D =
-0/1/2. Level and orientation are STATIC per band, so the scans only ever
-one-hot over a 16- or 256-row slice — richer context costs no stream bytes
-and almost no device time. Probe-measured gain vs the round-2 coarse
+bandcodec.cpp:324-344), pml4 = its 4-class quantization
+((pml>0)+(pml>2)+(pml>5) — the S scan's fetch stays 64 rows wide; a full
+16-class parML slowed the dense SREF scan 2.6x for ~0.3% rate),
+lvlc = min(level, 2) (0 = finest), orient V/H/D = 0/1/2. Level and
+orientation are STATIC per band, so the scans only ever one-hot over a
+16- or 64-row slice — richer context costs no stream bytes and almost no
+device time. Probe-measured gain vs the round-2 coarse
 contexts: ~2-3%% of total stream across q0..q21 (leave-one-out fit).
 
 COARSE (the per-image two-pass table section; 64 tables — the round-2
@@ -45,7 +48,7 @@ ZF_BASE = 0
 KLF_BASE = 144
 KHF_BASE = 240
 SF_BASE = 288
-N_FINE = 1056
+N_FINE = 480
 
 _NPZ = os.path.join(os.path.dirname(__file__), "tables.npz")
 
@@ -63,7 +66,7 @@ def kh_fine_base(orient: int) -> int:
 
 
 def s_fine_base(lvlc: int) -> int:
-    return SF_BASE + lvlc * 256
+    return SF_BASE + lvlc * 64
 
 
 def _fine_layout():
@@ -86,7 +89,7 @@ def _fine_layout():
         nsym[b : b + 16] = 16
     for lvlc in range(3):
         b = s_fine_base(lvlc)
-        for pml in range(16):
+        for pml in range(4):
             r = b + pml * 16
             coarse[r : r + 16] = S_BASE + np.arange(16)
             nsym[r : r + 16] = ALPHABET
