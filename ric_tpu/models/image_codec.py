@@ -678,7 +678,10 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
     rows = _encode_rows(plans, payload, enc_tables, L)
     if constrain is not None:
         rows = constrain(rows)
-    states, emit, words = rans.encode_packed_sparse(rows)
+    # partitioned-order emission grids: stable partition + silent inactive
+    # rows make raster compaction order-equivalent, so the two full-grid
+    # inverse permutations are skipped
+    states, emit, words = rans.encode_packed_sparse(rows, reorder=False)
     stream16, nw = rans.compact_words(emit, words, cap16)
     # wordsB is uint16: its row-major bytes ARE the wire layout, so no
     # element-order-preserving width change (a cross-lane de-interleave,

@@ -356,8 +356,15 @@ def encode_packed(packed):
     return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
 
 
-def encode_packed_sparse(packed, chunk: int = 8):
+def encode_packed_sparse(packed, chunk: int = 8, reorder: bool = True):
     """encode_packed skipping all-inactive rows — byte-identical output.
+
+    reorder=False returns the emission grids in PARTITIONED row order
+    (active rows first) without the two full-grid inverse takes. Because
+    the partition is stable and inactive rows emit nothing, raster-order
+    word compaction over the partitioned grids yields exactly the same
+    word sequence — callers that only feed compact_words should pass
+    False (saves ~2 full-grid permutations per plane).
 
     A row of the packed grid with no active slot is an identity step of the
     reverse-order scan, so it can be skipped without changing any lane
@@ -414,6 +421,8 @@ def encode_packed_sparse(packed, chunk: int = 8):
     words0 = jnp.zeros((T + chunk, L), jnp.uint32) + (packed[0] * 0)
     xf, emit_c, words_c = jax.lax.fori_loop(
         0, n_iter, body, (x0, emit0, words0))
+    if not reorder:
+        return xf, emit_c[:T], words_c[:T]
     inv = jnp.argsort(order, stable=True).astype(jnp.int32)
     emit = jnp.take(emit_c[:T], inv, axis=0)
     words = jnp.take(words_c[:T], inv, axis=0)
