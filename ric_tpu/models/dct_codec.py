@@ -202,6 +202,10 @@ def decode_plane_dct(streamA: bytes, streamB: bytes, cfg: CodecConfig,
 def encode_image_dct(img: np.ndarray, cfg: CodecConfig) -> bytes:
     """Lossy DCT-profile container (flags bit 7). quant >= 1 required."""
     assert cfg.quant >= 1, "DCT profile is lossy (quant >= 1)"
+    # both sides of this profile run fixed 8-bit offsets ((x-128)<<SHIFT /
+    # 128+(x>>SHIFT)); a 16-bit container would record input_depth=16 and
+    # silently decode garbage (ADVICE r3)
+    assert cfg.input_depth == 8, "DCT profile supports 8-bit input only"
     img = jnp.asarray(img).astype(jnp.int32)
     streams = []
     if cfg.channels == 3:

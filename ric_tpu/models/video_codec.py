@@ -307,7 +307,9 @@ def _parse_plane_streams(pairs, cfg: CodecConfig):
 
 
 MAGIC = b"RTV1"
-VERSION = 2
+# v3 in lockstep with the image container: frames embed the same rANS
+# plane streams, so the same table/wire-layout changes apply (ADVICE r3)
+VERSION = 3
 
 
 def encode_video(frames: np.ndarray, quant: int = 9,

@@ -553,15 +553,15 @@ def compact_words(emit, words, cap: int):
         return jnp.concatenate(
             [a[:, d:], jnp.zeros((S, d), a.dtype)], axis=1)
 
-    for k in range(0, 7, 2):
-        dig = jnp.where((st & 1) == 1, (st >> (1 + k)) & 3, 0)
+    for kbit in range(0, 7, 2):
+        dig = jnp.where((st & 1) == 1, (st >> (1 + kbit)) & 3, 0)
         moved = jnp.where(dig == 0, st, 0)
         for m in (1, 2, 3):
-            if (m << k) >= SEG:
+            if (m << kbit) >= SEG:
                 break
-            sh = shl(st, m << k)
-            dig_s = jnp.where((sh & 1) == 1, (sh >> (1 + k)) & 3, 0)
-            inc = jnp.where(dig_s == m, sh - ((m << k) << 1), 0)
+            sh = shl(st, m << kbit)
+            dig_s = jnp.where((sh & 1) == 1, (sh >> (1 + kbit)) & 3, 0)
+            inc = jnp.where(dig_s == m, sh - ((m << kbit) << 1), 0)
             moved = moved | inc
         st = moved
     wc = (st >> 9).astype(jnp.uint16)  # (S, SEG): words at front, 0 after

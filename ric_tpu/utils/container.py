@@ -9,7 +9,7 @@ and streams stitch deterministically across a device mesh (SURVEY.md §5).
 
 Layout (little-endian):
   0   4s  magic "RTP1"
-  4   u8  version (2)
+  4   u8  version (3)
   5   u8  flags: bit0 color, bits1-2 transform, bit3 16-bit depth
   6   u8  quant (0 = lossless)
   7   u8  levels
@@ -34,7 +34,12 @@ import numpy as np
 from ric_tpu.config import CodecConfig, Transform
 
 MAGIC = b"RTP1"
-VERSION = 2
+# v3: round-4 bitstream (regenerated fine-context tables.npz layout,
+# delta+bitmap table-section format, still-image lane-floor change, uint16
+# stream-B wire layout). Bumped so pre-round-4 containers are rejected by
+# the version check instead of silently misdecoding (per-substream CRCs
+# cover bytes, not semantics).
+VERSION = 3
 
 
 class BadMagic(ValueError):
