@@ -68,6 +68,11 @@ def main(argv=None) -> int:
                     help="log2 rANS lane count (speed/rate knob; "
                          "default: rate-aware auto)")
     args = ap.parse_args(argv)
+    if (args.gtiles or args.tiles) and args.profile != "rans":
+        # the tiled paths always encode the rans mode-1/mode-2 profiles;
+        # silently ignoring --profile here would ship the wrong stream
+        ap.error(f"--{'gtiles' if args.gtiles else 'tiles'} supports only "
+                 f"--profile rans (got {args.profile})")
 
     from ric_tpu.config import CodecConfig, Transform
     from ric_tpu.models import image_codec
@@ -100,11 +105,6 @@ def main(argv=None) -> int:
         input_depth=16 if img.dtype.itemsize > 1 else 8,
         lanes_log2=args.lanes,
     )
-    if (args.gtiles or args.tiles) and args.profile != "rans":
-        # the tiled paths always encode the rans mode-1/mode-2 profiles;
-        # silently ignoring --profile here would ship the wrong stream
-        ap.error(f"--{'gtiles' if args.gtiles else 'tiles'} supports only "
-                 f"--profile rans (got {args.profile})")
     if args.gtiles:
         from ric_tpu.parallel import tiling
 
