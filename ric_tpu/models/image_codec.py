@@ -144,13 +144,17 @@ def _lanes(cfg: CodecConfig) -> int:
     bucket = 3 if cfg.q_step >= 256 else tbl.rate_bucket(cfg.quant)
     est_bytes = npix * _BPP_EST[bucket] / 8
     # large images take the wider grid (scan-step count dominates their
-    # runtime); small images take the tighter rate budget
-    frac = 0.015 if npix >= (1 << 22) else 0.0075
+    # runtime); small images take the tighter rate budget. Round-4 audit
+    # (tools/rate_audit.py): at 512^2 the flush was 50-100% of the whole
+    # rate gap vs the reference (q21: 128 B on streams as small as 340 B),
+    # so the small-image budget tightened 0.0075 -> 0.005 and the floor
+    # dropped 32 -> 8 for stills.
+    frac = 0.015 if npix >= (1 << 22) else 0.005
     cap = int(est_bytes * frac / 4)
     # floor: 64 lanes for the video path (per-frame latency matters),
-    # 32 for stills — at bucket-3 rates a 512^2 stream is a few KB and
+    # 8 for stills — at bucket-3 rates a 512^2 stream is a few KB and
     # the 4 B/lane flush is the dominant fixed cost
-    floor = 6 if cfg.q_step >= 0 else 5
+    floor = 6 if cfg.q_step >= 0 else 3
     l = 1 << max(floor, cap.bit_length() - 1)
     return min(32768, l)
 

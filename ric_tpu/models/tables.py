@@ -50,7 +50,11 @@ KHF_BASE = 240
 SF_BASE = 288
 N_FINE = 480
 
-_NPZ = os.path.join(os.path.dirname(__file__), "tables.npz")
+# RIC_TABLES overrides the shipped table set (held-out-split experiments,
+# tools/tablegen.py --out; the override changes the bitstream format, so
+# streams written under it decode only under the same tables)
+_NPZ = os.environ.get(
+    "RIC_TABLES", os.path.join(os.path.dirname(__file__), "tables.npz"))
 
 
 def z_fine_base(lvlc: int, orient: int) -> int:

@@ -525,7 +525,15 @@ def compact_words(emit, words, cap: int):
     w = jnp.where(e, words.ravel(), 0)
     n = e.shape[0]
     SEG = 128
-    if n % SEG or n < SEG:
+    if n % SEG and n >= SEG:
+        # pad with non-emitting tail slots: raster compaction ignores them,
+        # so the staged path stays available for any (T, L) shape (small
+        # lane counts rarely land on a multiple of SEG)
+        pad = SEG - n % SEG
+        e = jnp.concatenate([e, jnp.zeros((pad,), e.dtype)])
+        w = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+        n += pad
+    if n < SEG:
         pos = jnp.cumsum(e.astype(jnp.int32)) - e.astype(jnp.int32)
         stream = jnp.zeros((cap,), jnp.uint16)
         stream = stream.at[jnp.where(e, pos, cap)].set(

@@ -25,11 +25,8 @@ import jax
 # The axon site hook pins jax_platforms to "axon,cpu"; tests must run on the
 # virtual 8-device CPU mesh (config wins over the env var here).
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
-
+from ric_tpu.utils import cache as _cc
+_cc.setup(jax)
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

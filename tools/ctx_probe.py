@@ -30,10 +30,8 @@ sys.path.insert(0, ".")
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+from ric_tpu.utils import cache as _cc
+_cc.setup(jax)
 import jax.numpy as jnp
 
 from ric_tpu.config import CodecConfig, Transform, SHIFT
@@ -273,6 +271,61 @@ def scheme_eval(images_recs, stream, feats, nsym, name):
                 static=total_static, loo=total_loo, section=total_section)
 
 
+def split_eval(images_recs, stream, nsym, featsA, featsB, nbq, name):
+    """Causal checkerboard split: cb=0 symbols under featsA (no neighbor
+    info), cb=1 symbols under featsB + quantized nbk (all 4 neighbors are
+    cb=0, so the parallel decoder has them after pass A). nbq = list of
+    thresholds defining the nbk quantization."""
+    def q_nbk(v):
+        out = np.zeros_like(v)
+        for t in nbq:
+            out += (v > t)
+        return out
+
+    tot = {}
+    for half, feats in (("A", featsA), ("B", featsB)):
+        nctx = 1
+        for _, nv in feats:
+            nctx *= nv
+        if half == "B":
+            nctx *= len(nbq) + 1
+        fit = np.zeros((nctx, nsym), np.float64)
+        per = []
+        for recs in images_recs:
+            rs = recs.get(stream, [])
+            if not rs:
+                per.append(None); continue
+            cb = merge(rs, "cb").astype(np.int64)
+            m = cb == (0 if half == "A" else 1)
+            ctx = np.zeros(int(m.sum()), np.int64)
+            for f, nv in feats:
+                v = np.clip(merge(rs, f)[m].astype(np.int64), 0, nv - 1)
+                ctx = ctx * nv + v
+            if half == "B":
+                ctx = ctx * (len(nbq) + 1) + q_nbk(
+                    merge(rs, "nbk")[m].astype(np.int64))
+            sym = merge(rs, "sym")[m].astype(np.int64)
+            h = np.zeros((nctx, nsym), np.float64)
+            np.add.at(h, (ctx, sym), 1.0)
+            fit += h
+            per.append((ctx, sym, h))
+        ideal = static = loo = 0.0
+        for p in per:
+            if p is None:
+                continue
+            ctx, sym, h = p
+            ideal += ent_bits(ctx, sym, nsym)
+            static += xent_bits(ctx, sym, nsym, fit)
+            loo += xent_bits(ctx, sym, nsym, fit - h)
+        tot[half] = (ideal, static, loo)
+    ideal = tot["A"][0] + tot["B"][0]
+    static = tot["A"][1] + tot["B"][1]
+    loo = tot["A"][2] + tot["B"][2]
+    print(f"  {name:24s} SPLIT "
+          f"ideal={ideal/8/1024:8.1f} static={static/8/1024:8.1f} "
+          f"loo={loo/8/1024:8.1f} KiB", flush=True)
+
+
 def main():
     quants = [int(a) for a in sys.argv[1:]] or [0, 9, 13, 21]
     import glob
@@ -333,6 +386,12 @@ def main():
                       f"static={r['static']/8/1024:8.1f} "
                       f"loo={r['loo']/8/1024:8.1f} KiB "
                       f"({r['n']} syms)", flush=True)
+            if stream in ("z", "k"):
+                base = [("ctx", 16), ("lvl", 3), ("orient", 3)]
+                for nbq, nm in (((0, 2, 6), "nbk4"), ((0, 1, 3, 6, 10), "nbk6"),
+                                ((0, 1, 2, 4, 6, 9, 12), "nbk8")):
+                    split_eval(images_recs, stream, nsym, base, base, nbq,
+                               f"cb-split {nm}")
 
 
 if __name__ == "__main__":

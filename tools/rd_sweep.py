@@ -18,10 +18,8 @@ sys.path.insert(0, "tools")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+from ric_tpu.utils import cache as _cc
+_cc.setup(jax)
 from oracle import oracle
 from ric_tpu.config import CodecConfig, Transform, SHIFT, quant_step
 from ric_tpu.models import image_codec

@@ -17,10 +17,8 @@ sys.path.insert(0, ".")
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/repo/build/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-
+from ric_tpu.utils import cache as _cc
+_cc.setup(jax)
 import jax.numpy as jnp
 
 from ric_tpu.config import CodecConfig, Transform, SHIFT
@@ -49,9 +47,10 @@ def corpus(rng, h, w):
     return [np.clip(i, 0, 255).astype(np.uint8) for i in imgs]
 
 
-def natural_corpus(h, w, color=False):
+def natural_corpus(h, w, color=False, only=None):
     """Natural test images from corpus (tools' corpus prep), cropped
-    or tiled to (h, w); grayscale PGMs or (with color=True) RGB PPMs."""
+    or tiled to (h, w); grayscale PGMs or (with color=True) RGB PPMs.
+    `only`: optional set of path substrings — held-out-split fitting."""
     import glob
 
     from ric_tpu.utils import pnm
@@ -59,6 +58,8 @@ def natural_corpus(h, w, color=False):
     out = []
     pat = "corpus/*.ppm" if color else "corpus/*.pgm"
     for path in sorted(glob.glob(pat)):
+        if only is not None and not any(s in path for s in only):
+            continue
         img = pnm.read_pnm(path)
         if color and img.ndim != 3:
             continue
@@ -74,13 +75,22 @@ BUCKET_QUANTS = {0: (0,), 1: (4, 6), 2: (9, 12), 3: (16, 20, 24)}
 
 
 def main():
-    out = sys.argv[1] if len(sys.argv) > 1 else "ric_tpu/models/tables.npz"
+    # args: [out.npz] [--only substr,substr,...]  (held-out-split fitting:
+    # natural images whose path contains none of the substrings are
+    # EXCLUDED from the fit so they can serve as the eval half)
+    args = [a for a in sys.argv[1:]]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        del args[i : i + 2]
+    out = args[0] if args else "ric_tpu/models/tables.npz"
     rng = np.random.default_rng(42)
     # (2, buckets, tables, alphabet): [0] luma/gray stats, [1] chroma
     hists = np.zeros(
         (2, tbl.N_BUCKETS, tbl.N_FINE, tbl.ALPHABET), np.float64)
     h = w = 512
-    imgs = corpus(rng, h, w) + natural_corpus(h, w)
+    imgs = corpus(rng, h, w) + natural_corpus(h, w, only=only)
     for img in imgs:
         for bucket, quants in BUCKET_QUANTS.items():
             for quant in quants:
@@ -97,7 +107,7 @@ def main():
         print(f"luma image done; total syms {hists.sum():.3e}", flush=True)
     # chroma stats: Cg/Co planes of the color corpus under the chroma
     # quant boost (C_Q_BOOST) — these are far sparser than luma
-    for img in natural_corpus(h, w, color=True):
+    for img in natural_corpus(h, w, color=True, only=only):
         x32 = jnp.asarray(img, jnp.int32)
         for bucket, quants in BUCKET_QUANTS.items():
             for quant in quants:
