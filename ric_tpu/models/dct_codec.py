@@ -139,6 +139,7 @@ def _cached_dct_encoder(cfg: CodecConfig, chroma: bool):
     image_tables = ic._use_image_tables(pc)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
     quant = _dct_quant(cfg, chroma)
+    packed = ic._sparse_decode(pc)
 
     def enc(x):
         x = _pad8(x)
@@ -146,7 +147,8 @@ def _cached_dct_encoder(cfg: CodecConfig, chroma: bool):
         q = dct.tsuq_dct(c, quant)
         payload = ic._payload_from_pyramid(plans, dct_to_pyramid(q))
         return ic._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload,
+            packed=packed)
 
     return jax.jit(enc), plans, L, capA, cap16
 
@@ -164,7 +166,7 @@ def _cached_dct_decoder(cfg: CodecConfig, chroma: bool):
     def dec(wordsA, states, stream16):
         coeffs = ic._streams_to_coeffs(
             plans, L, 3, image_tables, tctx, wordsA, states, stream16,
-            sparse=sparse)
+            sparse=sparse, packed=sparse)
         qplane = pyramid_to_dct(coeffs, H, W)
         c = dct.tsuq_dct_inverse(qplane, quant)
         x = dct.lapped_post(dct.idct2d_blocks(c))

@@ -43,12 +43,22 @@ ALPHABET = 32
 Z_BASE, KL_BASE, KH_BASE, S_BASE = 0, 16, 32, 48
 N_TABLES = 64
 
-# fine (scan) space
+# fine (scan) space. Round 4 adds the checkerboard pass-B rows: blocks
+# with (by+bx) odd are coded in a second ZK pass whose context extends
+# parML with NBQ classes of the quantized mean of the four already-decoded
+# neighbor k values (all four neighbors of an odd-parity block are
+# even-parity, so a parallel decoder has them after pass A — the causal
+# answer to the reference's serial k_mean context, bandcodec.cpp:480-490).
+NBQ = 6
+NBQ_THRESH = (0, 1, 3, 6, 10)
 ZF_BASE = 0
 KLF_BASE = 144
 KHF_BASE = 240
 SF_BASE = 288
-N_FINE = 480
+ZB_BASE = 480           # pass-B zerotree: (lvlc*3+orient) * 96 + pml*6+nbq
+KLB_BASE = 480 + 864    # pass-B k, low bands
+KHB_BASE = 480 + 864 + 576  # pass-B k, finest bands
+N_FINE = 480 + 864 + 576 + 288
 
 # RIC_TABLES overrides the shipped table set (held-out-split experiments,
 # tools/tablegen.py --out; the override changes the bitstream format, so
@@ -73,10 +83,28 @@ def s_fine_base(lvlc: int) -> int:
     return SF_BASE + lvlc * 64
 
 
+def zb_fine_base(lvlc: int, orient: int) -> int:
+    """Pass-B zerotree rows: 96 per (lvlc, orient) = parML(16) x nbq(6)."""
+    return ZB_BASE + (lvlc * 3 + orient) * 96
+
+
+def klb_fine_base(lvlc: int, orient: int) -> int:
+    return KLB_BASE + ((max(lvlc, 1) - 1) * 3 + orient) * 96
+
+
+def khb_fine_base(orient: int) -> int:
+    return KHB_BASE + orient * 96
+
+
 def _fine_layout():
-    """Per fine row: (coarse row, alphabet size)."""
+    """Per fine row: (coarse row, alphabet size, pass-A twin row).
+
+    The pass-A twin of a pass-B row is the same (lvlc, orient, parML) row
+    without the nbq dim — used to seed pass-B priors and to migrate
+    480-row (round-3) table fits into this layout."""
     coarse = np.zeros(N_FINE, np.int32)
     nsym = np.zeros(N_FINE, np.int32)
+    twin = np.arange(N_FINE, dtype=np.int32)
     for lvlc in range(3):
         for o in range(3):
             b = z_fine_base(lvlc, o)
@@ -97,10 +125,32 @@ def _fine_layout():
             r = b + pml * 16
             coarse[r : r + 16] = S_BASE + np.arange(16)
             nsym[r : r + 16] = ALPHABET
-    return coarse, nsym
+    # pass-B rows: parML-major, NBQ-minor; coarse row ignores the nbq dim
+    # (the per-image section modulates both passes through one coarse shift)
+    pml_of = np.repeat(np.arange(16), NBQ)
+    for lvlc in range(3):
+        for o in range(3):
+            b = zb_fine_base(lvlc, o)
+            coarse[b : b + 96] = Z_BASE + pml_of
+            nsym[b : b + 96] = 2
+            twin[b : b + 96] = z_fine_base(lvlc, o) + pml_of
+    for lc in range(1, 3):
+        for o in range(3):
+            b = klb_fine_base(lc, o)
+            coarse[b : b + 96] = KL_BASE + pml_of
+            nsym[b : b + 96] = 17
+            twin[b : b + 96] = kl_fine_base(lc, o) + pml_of
+    for o in range(3):
+        b = khb_fine_base(o)
+        coarse[b : b + 96] = KH_BASE + pml_of
+        nsym[b : b + 96] = 16
+        twin[b : b + 96] = kh_fine_base(o) + pml_of
+    return coarse, nsym, twin
 
 
-COARSE_OF, _FINE_NSYM = _fine_layout()
+
+
+COARSE_OF, _FINE_NSYM, _TWIN_OF = _fine_layout()
 
 _VALID_FINE = np.zeros((N_FINE, ALPHABET), bool)
 for _r in range(N_FINE):
@@ -171,6 +221,13 @@ def _all_counts() -> np.ndarray:
         data = np.load(_NPZ)["counts"]
         if data.ndim == 4 and data.shape[1:] == (N_BUCKETS, N_FINE, ALPHABET):
             return data
+        if data.ndim == 4 and data.shape[2] < N_FINE and (
+                data.shape[1], data.shape[3]) == (N_BUCKETS, ALPHABET):
+            # round-3 480-row fit: seed every pass-B row from its pass-A
+            # twin (neutral w.r.t. nbq) until tablegen refits the full set
+            full = data[:, :, _TWIN_OF[: N_FINE]]
+            full[:, :, : data.shape[2]] = data
+            return full
     return np.broadcast_to(
         _prior_counts(), (2, N_BUCKETS, N_FINE, ALPHABET)
     ).copy()

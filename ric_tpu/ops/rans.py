@@ -596,6 +596,113 @@ def compact_words(emit, words, cap: int):
     return out.reshape(-1)[:cap], jnp.sum(e.astype(jnp.int32))
 
 
+def compact_by_mask(vals, mask, cap: int):
+    """Order-preserving compaction: out[rank(i)] = vals[i] for mask[i],
+    zeros past the active count. Returns ((cap,) vals.dtype, K int32).
+
+    Same staged-roll scheme as compact_words (validated in simulation and
+    by byte-equality there) carrying (value, delta<<1|ok) pairs, so values
+    keep their full 32-bit width. This is the slot-grid packer of the
+    sparse "packed scan" mode: both codec sides derive identical masks, so
+    the dense grid layout is part of the format at sparse quantizers."""
+    n = vals.shape[0]
+    SEG = 128
+    pad = (-n) % SEG
+    if pad:
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        mask = jnp.concatenate([mask, jnp.zeros((pad,), bool)])
+    S = vals.shape[0] // SEG
+    e2 = mask.reshape(S, SEG).astype(jnp.uint32)
+    v2 = jnp.where(e2 == 1, vals.reshape(S, SEG), 0)
+    k = jnp.sum(e2.astype(jnp.int32), axis=1)
+    base = jnp.cumsum(k) - k
+    rank = jnp.cumsum(e2, axis=1) - e2
+    j = jnp.arange(SEG, dtype=jnp.uint32)
+    delta = jnp.where(e2 == 1, j[None, :] - rank, 0)
+    ctl = (delta << 1) | e2
+
+    def shl(a, d):
+        return jnp.concatenate(
+            [a[:, d:], jnp.zeros((S, d), a.dtype)], axis=1)
+
+    for kbit in range(0, 7, 2):
+        dig = jnp.where((ctl & 1) == 1, (ctl >> (1 + kbit)) & 3, 0)
+        keep = dig == 0
+        nv = jnp.where(keep, v2, 0)
+        nc = jnp.where(keep, ctl, 0)
+        for m in (1, 2, 3):
+            d = m << kbit
+            if d >= SEG:
+                break
+            sv, sc = shl(v2, d), shl(ctl, d)
+            dig_s = jnp.where((sc & 1) == 1, (sc >> (1 + kbit)) & 3, 0)
+            pick = dig_s == m
+            nv = nv | jnp.where(pick, sv, 0)
+            nc = nc | jnp.where(pick, sc - jnp.uint32(d << 1), 0)
+        v2, ctl = nv, nc
+    # stage 2: align each segment run to base % SEG over a 2*SEG row
+    phi = (base % SEG).astype(jnp.int32)
+    ext = jnp.concatenate([v2, jnp.zeros((S, SEG), v2.dtype)], axis=1)
+    for b in range(0, 7, 2):
+        dig = ((phi >> b) & 3)[:, None]
+        nxt = jnp.where(dig == 0, ext, 0)
+        for m in (1, 2, 3):
+            d = m << b
+            if d >= 2 * SEG:
+                break
+            rolled = jnp.concatenate([ext[:, -d:], ext[:, :-d]], axis=1)
+            nxt = nxt | jnp.where(dig == m, rolled, 0)
+        ext = nxt
+    nblk = cap // SEG + 2
+    blk = (base // SEG).astype(jnp.int32)
+    out = jnp.zeros((nblk, SEG), vals.dtype)
+    out = out.at[blk].add(ext[:, :SEG], mode="drop")
+    out = out.at[blk + 1].add(ext[:, SEG:], mode="drop")
+    return out.reshape(-1)[:cap], jnp.sum(k)
+
+
+def expand_by_mask(dense, mask, L: int):
+    """Inverse of compact_by_mask: out[i] = dense[rank(i)] where mask[i],
+    0 elsewhere. dense: (T*L,) flat packed values with T = ceil(n/L).
+
+    Row t of the output draws ranks [rs_t, rs_t + L) which live inside two
+    consecutive dense rows starting at rs_t // L — a row-level (monotone)
+    take builds a (T, 2L) window, and a binary lag-decomposition pull
+    places each value (the expand_words argument generalized to a 2L
+    window; validated in simulation over random masks)."""
+    n = mask.shape[0]
+    T = -(-n // L)
+    m = mask
+    if T * L > n:
+        m = jnp.concatenate([m, jnp.zeros((T * L - n,), bool)])
+    mi = m.astype(jnp.int32)
+    rank = jnp.cumsum(mi) - mi
+    rank2 = rank.reshape(T, L)
+    rs = rank2[:, 0]
+    blk = rs // L
+    d2 = jnp.concatenate([dense, jnp.zeros((2 * L,), dense.dtype)])
+    d2r = d2.reshape(-1, L)
+    rows_a = jnp.take(d2r, blk, axis=0)
+    rows_b = jnp.take(d2r, blk + 1, axis=0)
+    win = jnp.concatenate([rows_a, rows_b], axis=1)  # (T, 2L)
+    off = rank2 - (blk * L)[:, None]
+    jj = jnp.arange(L, dtype=jnp.int32)
+    lag = (jj[None, :] + L) - off
+    s = jnp.concatenate(
+        [jnp.repeat(lag[:, :1], L, axis=1), lag], axis=1)
+    cur = win
+    W = 2 * L
+    nb = (W - 1).bit_length() - 1
+    for bb in range(nb, -1, -1):
+        d = 1 << bb
+        if d >= W:
+            continue
+        shifted = jnp.concatenate([cur[:, -d:], cur[:, :-d]], axis=1)
+        cur = jnp.where(((s >> bb) & 1) == 1, shifted, cur)
+    out = jnp.where(m.reshape(T, L), cur[:, L:], 0)
+    return out.reshape(-1)[:n]
+
+
 def unpack_words16(stream_u16):
     """compact_words' u16 stream -> the decoder-side one-word-per-u32
     stream16 convention (hosts do this while parsing the container, tests

@@ -39,6 +39,7 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
     image_tables = image_codec._use_image_tables(cfg)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
     lane_sh = NamedSharding(mesh, P(None, "sp"))
+    packed = image_codec._sparse_decode(cfg)
 
     def constrain(rows):
         return jax.lax.with_sharding_constraint(rows, lane_sh)
@@ -47,6 +48,6 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
         payload = image_codec._plane_payload(cfg, plans, x)
         return image_codec._payload_to_streams(
             plans, L, capA, cap16, image_tables, tctx, payload,
-            constrain=constrain)
+            constrain=constrain, packed=packed)
 
     return jax.jit(encode_plane)

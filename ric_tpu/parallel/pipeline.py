@@ -42,6 +42,7 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
+    packed = image_codec._sparse_decode(cfg)
 
     def stage1(x):
         payload = image_codec._plane_payload(cfg, plans, x)
@@ -55,7 +56,8 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
             dict(pay, plan=p) for pay, p in zip(payload_arrays, plans)
         ]
         return image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload,
+            packed=packed)
 
     stage1_j = jax.jit(stage1)
     stage2_j = jax.jit(stage2)

@@ -266,6 +266,7 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh, chroma: bool = False):
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(tcfg)
     tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+    packed = image_codec._sparse_decode(tcfg)
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
@@ -276,7 +277,8 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh, chroma: bool = False):
         )
         payload = image_codec._payload_from_pyramid(plans, pyr)
         wA, tA, wB, tB = image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload,
+            packed=packed)
         if grid:
             return (wA[None, None], tA[None, None],
                     wB[None, None], tB[None, None])
@@ -335,7 +337,7 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh, chroma: bool = False):
             take(wordsA), take(statesB), take(stream16))
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
-            wordsA, statesB, stream16, sparse=sparse)
+            wordsA, statesB, stream16, sparse=sparse, packed=sparse)
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
             pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp",
@@ -427,10 +429,13 @@ def _tile_coeff_encoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
     image_tables = image_codec._use_image_tables(tcfg)
     tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
 
+    packed = image_codec._sparse_decode(tcfg)
+
     def enc(pyr_tile):
         payload = image_codec._payload_from_pyramid(plans, pyr_tile)
         return image_codec._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, payload)
+            plans, L, capA, cap16, image_tables, tctx, payload,
+            packed=packed)
 
     return jax.jit(enc)
 
@@ -450,7 +455,7 @@ def _tile_coeff_decoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
     def dec(wordsA, states, stream16):
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
-            wordsA, states, stream16, sparse=sparse)
+            wordsA, states, stream16, sparse=sparse, packed=sparse)
         return tuple(coeffs[n] for n in names)
 
     return jax.jit(dec), names, plans, L

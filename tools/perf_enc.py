@@ -60,6 +60,7 @@ def main():
     cap16 = ic._cap_words16(plans, L)
     image_tables = ic._use_image_tables(cfg)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant))
+    packed = ic._sparse_decode(cfg)
 
     img = synthetic(N, N)
     x = jnp.asarray(img).astype(jnp.int32) - 128
@@ -84,18 +85,18 @@ def main():
         hist = ic._hist_from_payload(pay)
         freq = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
         enc_tables = rans.enc_dec_tables(freq)
-        return ic._encode_rows(plans, pay, enc_tables, L)
+        return ic._encode_rows(plans, pay, enc_tables, L, packed)
 
     @jax.jit
     def through_scan(x):
         rows = through_rows.__wrapped__(x)
-        return rans.encode_packed(rows)
+        return rans.encode_packed_sparse(rows, reorder=False)
 
     @jax.jit
     def full(x):
         pay = ic._plane_payload(cfg, plans, x)
         return ic._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, pay)
+            plans, L, capA, cap16, image_tables, tctx, pay, packed=packed)
 
     t_pay = timeit(payload_only, x)
     t_tab = timeit(through_tables, x)
