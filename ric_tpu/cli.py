@@ -50,6 +50,11 @@ def main(argv=None) -> int:
     ap.add_argument("-t", dest="trans", type=int, default=None,
                     help="0:cdf97 1:cdf53 2:haar (default 1 if lossless)")
     ap.add_argument("-d", dest="dither", action="store_true")
+    ap.add_argument("--dither-alg", default="ed", choices=("ed", "bayer"),
+                    help="-d algorithm: ed = serpentine error diffusion "
+                         "(native, the reference's -d class); bayer = "
+                         "ordered 16x16 threshold (vectorized, "
+                         "tiling-invariant)")
     ap.add_argument("-l", dest="levels", type=int, default=5)
     ap.add_argument("--tiles", default="",
                     help="TXxTY tile grid (e.g. 4x2): single-device tiled "
@@ -85,7 +90,8 @@ def main(argv=None) -> int:
         out = args.outfile or infile + ".pnm"
         with open(infile, "rb") as f:
             data = f.read()
-        img = image_codec.decode_image(data, dither=args.dither)
+        img = image_codec.decode_image(
+            data, dither=(args.dither_alg if args.dither else False))
         from ric_tpu.utils.container import read_container
 
         cfg = read_container(data)[0]

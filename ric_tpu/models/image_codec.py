@@ -1718,10 +1718,14 @@ def decode_plane_streams(streams: list[bytes], cfg: CodecConfig,
     if cfg.lossless:
         return (x + mid).astype(np.int32)
     if cfg.input_depth == 8:
-        if dither:
+        if dither == "bayer":
             from ric_tpu.cli import dither as _dither
 
             return _dither(np.asarray(x)).astype(np.int32)
+        if dither:  # True / "ed": serpentine error diffusion (native)
+            from ric_tpu.utils.native import dither_ed
+
+            return dither_ed(np.asarray(x)).astype(np.int32)
         x = mid + ((x + (1 << (SHIFT - 1))) >> SHIFT)
     else:
         x = x + mid

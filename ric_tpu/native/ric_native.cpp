@@ -17,6 +17,7 @@
 #include <cstdlib>
 #include <vector>
 #include <array>
+#include <algorithm>
 
 namespace {
 
@@ -290,6 +291,44 @@ int pnm_parse(const uint8_t* data, long n, int* w, int* h, int* channels,
     *maxval = vals[2];
     *data_offset = i;
     return 0;
+}
+
+// ---------------------------------------------------------------------
+// Serpentine error-diffusion dither: 12-bit working-domain plane ->
+// 8-bit samples. Covers the reference CLI's -d output pass
+// (ric.cpp:51-74 is a serial diffusion dither); ours runs in the native
+// runtime with classic Floyd–Steinberg weights (7,3,5,1)/16 and
+// direction flipping per row. The quantization error of each emitted
+// sample feeds the not-yet-visited neighbors, so truncation noise is
+// shaped instead of banded.
+// ---------------------------------------------------------------------
+
+void ric_dither_ed(const int32_t* plane, int h, int w, int shift,
+                   uint8_t* out) {
+    std::vector<int32_t> err_row(w + 2, 0), next_row(w + 2, 0);
+    const int half = 1 << (shift - 1);
+    for (int y = 0; y < h; y++) {
+        std::fill(next_row.begin(), next_row.end(), 0);
+        const bool ltr = (y & 1) == 0;
+        int carry = 0;  // error flowing to the next pixel in walk order
+        for (int i = 0; i < w; i++) {
+            const int x = ltr ? i : w - 1 - i;
+            const int32_t acc =
+                plane[(long)y * w + x] + err_row[x + 1] + carry;
+            int v = ((acc + half) >> shift) + 128;
+            if (v < 0) v = 0;
+            if (v > 255) v = 255;
+            out[(long)y * w + x] = (uint8_t)v;
+            const int32_t e = acc - ((v - 128) << shift);
+            carry = (e * 7) / 16;
+            const int back = ltr ? x : x + 2;   // behind the walk
+            const int fwd = ltr ? x + 2 : x;    // ahead of the walk
+            next_row[back] += (e * 3) / 16;
+            next_row[x + 1] += (e * 5) / 16;
+            next_row[fwd] += e - (e * 7) / 16 - (e * 3) / 16 - (e * 5) / 16;
+        }
+        err_row.swap(next_row);
+    }
 }
 
 }  // extern "C"

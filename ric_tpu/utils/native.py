@@ -55,6 +55,10 @@ def lib():
     ]
     l.ric_crc32.restype = ctypes.c_uint32
     l.ric_crc32.argtypes = [ctypes.c_void_p, ctypes.c_long]
+    l.ric_dither_ed.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p,
+    ]
     return l
 
 
@@ -127,3 +131,14 @@ class SerialDecoder:
 def crc32(data: bytes) -> int:
     buf = np.frombuffer(data, np.uint8)
     return int(lib().ric_crc32(_ptr(buf), len(buf)))
+
+
+def dither_ed(plane: np.ndarray, shift: int = 4) -> np.ndarray:
+    """Serpentine Floyd–Steinberg error diffusion: working-domain (H, W)
+    int32 plane (samples ~ (p-128)<<shift) -> uint8. The native twin of
+    the reference's serial -d pass (ric.cpp:51-74)."""
+    p = np.ascontiguousarray(plane, np.int32)
+    h, w = p.shape
+    out = np.empty((h, w), np.uint8)
+    lib().ric_dither_ed(_ptr(p), h, w, shift, _ptr(out))
+    return out

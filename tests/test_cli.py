@@ -29,11 +29,39 @@ def test_cli_lossy_dither(rng, tmp_path):
     src = str(tmp_path / "t.pgm")
     pnm.write_pnm(src, img)
     assert cli.main(["-i", src, "-q", "9"]) == 0
-    assert cli.main(
-        ["-i", str(tmp_path / "t.ric"), "-o", str(tmp_path / "o.pgm"), "-d"]
-    ) == 0
-    out = pnm.read_pnm(str(tmp_path / "o.pgm"))
-    assert out.shape == img.shape
+    outs = {}
+    for alg in ("ed", "bayer"):
+        dst = str(tmp_path / f"o_{alg}.pgm")
+        assert cli.main(["-i", str(tmp_path / "t.ric"), "-o", dst, "-d",
+                         "--dither-alg", alg]) == 0
+        outs[alg] = pnm.read_pnm(dst).astype(np.float64)
+    for alg, out in outs.items():
+        assert out.shape == img.shape
+        # dithering decorrelates truncation noise but must stay close to
+        # the signal and roughly mean-preserving
+        err = out - img.astype(np.float64)
+        assert abs(err.mean()) < 1.5, alg
+        assert np.sqrt((err**2).mean()) < 12, alg
+    # the two algorithms are genuinely different passes
+    assert not np.array_equal(outs["ed"], outs["bayer"])
+
+
+def test_dither_ed_gradient_mean():
+    """Error diffusion preserves local mean on a shallow gradient (the
+    property banding destroys): 12-bit ramp spanning one 8-bit step."""
+    from ric_tpu.utils.native import dither_ed
+
+    h, w = 64, 256
+    ramp12 = np.linspace(0, 16, w, endpoint=False).astype(np.int32)
+    plane = np.tile(ramp12, (h, 1))  # working domain: (p-128)<<4 in [0,16)
+    out = dither_ed(plane).astype(np.float64)
+    # undithered truncation collapses to one or two codes; diffusion must
+    # reproduce the 1/16-step mean within a small tolerance
+    target = 128 + plane.mean() / 16
+    assert abs(out.mean() - target) < 0.05
+    col_mean = out.mean(axis=0)
+    want = 128 + plane[0] / 16.0
+    assert np.abs(col_mean - want).mean() < 0.3
 
 
 def test_cli_color_roundtrip(rng, tmp_path):

@@ -203,9 +203,13 @@ def collect(img, quant):
                 xx = np.minimum(np.arange(W2) // 2, pu2.shape[1] - 1)
                 pc2d = pu2[yy[:, None], xx[None, :]]
                 pc = blocks_to(pc2d, gy, gx)
+            cpm = ctx_cf[act]
             rec["s"].append(dict(
                 sym=s[act], k=np.minimum(k_cf[act] - 1, 15),
-                ctx=ctx_cf[act], lvl=lvl_cf,
+                ctx=cpm, lvl=lvl_cf,
+                ctx4=((cpm > 0) + (cpm > 2) + (cpm > 5)).astype(np.int64),
+                ctx8=((cpm > 0) + (cpm > 1) + (cpm > 2) + (cpm > 3)
+                      + (cpm > 5) + (cpm > 7) + (cpm > 10)).astype(np.int64),
                 pc=np.minimum(nbitlen(pc[act]), 7),
             ))
             # refinement top bit (s >= 2)
@@ -369,8 +373,12 @@ def main():
                 ("k x lvl", [("k", 16), ("lvl", 3)]),
                 ("k x parML", [("k", 16), ("ctx", 16)]),
                 ("k x pcoefbl", [("k", 16), ("pc", 8)]),
+                ("k x pml4 x lvl", [("k", 16), ("ctx4", 4), ("lvl", 3)]),
+                ("k x pml8 x lvl", [("k", 16), ("ctx8", 8), ("lvl", 3)]),
                 ("k x parML x lvl", [("k", 16), ("ctx", 16), ("lvl", 3)]),
                 ("k x pc x lvl", [("k", 16), ("pc", 8), ("lvl", 3)]),
+                ("k x pml8 x pc x lvl", [("k", 16), ("ctx8", 8),
+                                         ("pc", 8), ("lvl", 3)]),
             ]),
             ("rtop", 2, [
                 ("raw 1bit", []),
