@@ -156,6 +156,184 @@ def build_lut(lengths, codes):
     return lut_sym, lut_len
 
 
+# --------------------------------------------------------------------------
+# Device VLC: L interleaved lanes, LUT-stepping decode — the TPU-native
+# redesign of the reference's serial LUT decoder (huffcodec.cpp:332-362,
+# muxcodec.h:242-276). Symbol j lives on lane j % L at step j // L; each
+# lane keeps a 32-bit MSB-aligned bit buffer, decodes one code per step
+# from an 8-bit first-stage LUT (one-hot MXU fetch, no gathers) with a
+# canonical-range second stage for codes longer than 8 bits, and refills
+# 16-bit words from ONE shared raster-order stream — the same
+# consumption-order word scheduling the rANS engine uses (the encoder
+# compacts its emission grid with rans.compact_words; the decoder pulls
+# from a cursor window with rans.expand_words).
+#
+# Wire: [2L x u16 initial buffer halves (lane-major, MSB half first)]
+#       [16-bit refill words, raster consumption order].
+# --------------------------------------------------------------------------
+
+
+def _device_tables(lengths, codes, max_len: int = 15):
+    """First-stage LUT (256 entries: len<=8 codes resolved directly;
+    longer codes marked) + canonical second-stage arrays."""
+    lengths = np.asarray(lengths, np.int32)
+    codes = np.asarray(codes, np.uint32)
+    lut = np.zeros(256, np.int32)  # sym | len << 16 ; -1 len => long code
+    for s, (l, c) in enumerate(zip(lengths, codes)):
+        if l == 0 or l > 8:
+            continue
+        base = int(c) << (8 - l)
+        lut[base : base + (1 << (8 - l))] = s | (l << 16)
+    # long codes: canonical => for each length l in (8, max_len], symbols
+    # sorted by code; value (code << (max_len - l)) ranges are disjoint
+    # and ordered, so a per-length (first_value, first_index) pair turns
+    # the next max_len bits into an index by compare-count.
+    longs = [(int(codes[s]) << (max_len - int(lengths[s])), s,
+              int(lengths[s]))
+             for s in range(len(lengths)) if lengths[s] > 8]
+    longs.sort()
+    lvals = np.asarray([v for v, _, _ in longs], np.int64)
+    lsyms = np.asarray([s for _, s, _ in longs], np.int32)
+    llens = np.asarray([l for _, _, l in longs], np.int32)
+    return lut, lvals, lsyms, llens
+
+
+def encode_lanes(symbols, lengths, codes, L: int, cap16: int):
+    """Encode n symbols over L interleaved lanes.
+
+    Returns (init (2L,) u16 lane-buffer halves, stream16 (cap16,) u16,
+    n_words). Pure numpy orchestration of per-lane bitstreams + the
+    rANS-style consumption-order interleave; encode is offline/per-table
+    (sections, tools), decode is the device hot path."""
+    import jax.numpy as jnp  # noqa: F811 (device compaction reuse)
+    from ric_tpu.ops import rans
+
+    symbols = np.asarray(symbols, np.int32)
+    lengths = np.asarray(lengths, np.int32)
+    codes = np.asarray(codes, np.uint32)
+    n = len(symbols)
+    T = -(-n // L)
+    syms_g = np.full((T, L), -1, np.int32)
+    syms_g.reshape(-1)[:n] = symbols
+    # per-lane bit strings, MSB-first
+    lane_bits = [[] for _ in range(L)]
+    for t in range(T):
+        for l in range(L):
+            s = syms_g[t, l]
+            if s < 0:
+                continue
+            c, ln = int(codes[s]), int(lengths[s])
+            lane_bits[l].extend(((c >> (ln - 1 - b)) & 1)
+                                for b in range(ln))
+    # per-lane 16-bit words (MSB-first within word), zero-padded
+    lane_words = []
+    for l in range(L):
+        bits = lane_bits[l]
+        bits = bits + [0] * ((-len(bits)) % 16)
+        ws = [
+            int("".join(map(str, bits[i : i + 16])), 2) if bits else 0
+            for i in range(0, len(bits), 16)
+        ]
+        lane_words.append(ws + [0, 0])  # slack for init fill
+    init = np.zeros(2 * L, np.uint16)
+    for l in range(L):
+        init[2 * l] = lane_words[l][0]       # MSB half
+        init[2 * l + 1] = lane_words[l][1]
+    # simulate decode to get the refill schedule: per step, lanes whose
+    # buffer drops to <= 16 valid bits pull their next word, lane order
+    nbits = np.full(L, 32, np.int64)
+    nextw = np.full(L, 2, np.int64)
+    emit = np.zeros((T, L), bool)
+    words = np.zeros((T, L), np.uint32)
+    for t in range(T):
+        for l in range(L):
+            s = syms_g[t, l]
+            if s < 0:
+                continue
+            nbits[l] -= int(lengths[s])
+            if nbits[l] <= 16:
+                emit[t, l] = True
+                j = int(nextw[l])
+                words[t, l] = lane_words[l][j] if j < len(lane_words[l]) \
+                    else 0
+                nextw[l] += 1
+                nbits[l] += 16
+    stream, nw = rans.compact_words(
+        jnp.asarray(emit), jnp.asarray(words), cap16)
+    return init, np.asarray(stream), int(nw)
+
+
+def decode_lanes(init, stream16, n_symbols: int, lengths, codes, L: int):
+    """Device decode of encode_lanes' wire format. init (2L,) u16/u32;
+    stream16 (N,) u32 of 16-bit words (>= L zero slack past payload).
+    Returns (n_symbols,) int32 symbols. jit-able; no per-element gathers
+    (LUT via one-hot MXU fetch, refill via rans.expand_words)."""
+    import jax
+    import jax.numpy as jnp
+    from ric_tpu.ops import rans
+
+    max_len = int(np.max(np.asarray(lengths))) if len(lengths) else 1
+    max_len = max(max_len, 1)
+    lut, lvals, lsyms, llens = _device_tables(lengths, codes, max_len)
+    lut_f = jnp.asarray(lut, jnp.float32)           # (256,) sym|len<<16
+    nlong = len(lvals)
+    T = -(-n_symbols // L)
+    act_g = (jnp.arange(T * L).reshape(T, L) < n_symbols)
+
+    init = jnp.asarray(init, jnp.uint32)
+    buf0 = (init[0::2] << 16) | init[1::2]          # (L,) MSB-aligned
+    cols = jnp.arange(256, dtype=jnp.int32)
+
+    if nlong:
+        lv = jnp.asarray(lvals, jnp.float32)        # sorted first-values
+        ls = jnp.asarray(lsyms, jnp.float32)
+        ll = jnp.asarray(llens, jnp.float32)
+        lcols = jnp.arange(nlong, dtype=jnp.int32)
+
+    def step(carry, act_r):
+        buf, nbits, gpos = carry
+        idx = (buf >> 24).astype(jnp.int32)
+        oh = (idx[:, None] == cols[None, :]).astype(jnp.float32)
+        ent = jnp.dot(oh, lut_f,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32).astype(jnp.int32)
+        sym = ent & 0xFFFF
+        ln = ent >> 16
+        if nlong:
+            # canonical long-code second stage: compare-count over the
+            # sorted first-values of the (code << (max_len - len)) space
+            v = (buf >> (32 - max_len)).astype(jnp.float32)
+            cnt = jnp.sum(v[:, None] >= lv[None, :], axis=1) - 1
+            cnt = jnp.clip(cnt, 0, nlong - 1).astype(jnp.int32)
+            ohl = (cnt[:, None] == lcols[None, :]).astype(jnp.float32)
+            lsym = jnp.dot(ohl, ls,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+            llen = jnp.dot(ohl, ll,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32
+                           ).astype(jnp.int32)
+            is_long = ln == 0
+            sym = jnp.where(is_long, lsym, sym)
+            ln = jnp.where(is_long, llen, ln)
+        ln = jnp.where(act_r, ln, 0)
+        buf = jnp.where(act_r, buf << ln.astype(jnp.uint32), buf)
+        nbits = nbits - ln
+        need = act_r & (nbits <= 16)
+        win = jax.lax.dynamic_slice(stream16, (gpos,), (L,))
+        w = rans.expand_words(win, need).astype(jnp.uint32)
+        sh = jnp.clip(16 - nbits, 0, 31).astype(jnp.uint32)
+        buf = jnp.where(need, buf | (w << sh), buf)
+        nbits = jnp.where(need, nbits + 16, nbits)
+        gpos = gpos + jnp.sum(need.astype(jnp.int32))
+        return (buf, nbits, gpos), jnp.where(act_r, sym, 0)
+
+    (buff, nbf, gp), syms = jax.lax.scan(
+        step, (buf0, jnp.full((L,), 32, jnp.int32), jnp.int32(0)), act_g)
+    return syms.reshape(-1)[:n_symbols]
+
+
 def decode_np(words, n_symbols: int, lengths, codes) -> np.ndarray:
     """Host LUT decoder (reference init_lut fast path + slow path)."""
     words = np.asarray(words, np.uint64)

@@ -53,3 +53,28 @@ def test_vlc_roundtrip(rng, seed):
     p = cnt / cnt.sum()
     ent = float(-(p[p > 0] * np.log2(p[p > 0])).sum()) * n
     assert int(total) <= max(ent * 1.12, ent + n)
+
+
+def test_vlc_device_lanes_roundtrip(rng):
+    """Lane-parallel device decode inverts encode_lanes for mixed-length
+    code sets including >8-bit (second-stage) codes."""
+    import jax.numpy as jnp
+
+    from ric_tpu.ops import vlc
+
+    for trial in range(4):
+        nsym = int(rng.integers(5, 40))
+        freqs = rng.zipf(1.5, nsym).astype(np.float64)
+        lens = vlc.make_lengths(freqs, max_len=15)
+        codes = vlc.canonical_codes(lens)
+        alive = np.where(lens > 0)[0]
+        n = int(rng.integers(50, 2000))
+        syms = rng.choice(alive, size=n, p=freqs[alive] / freqs[alive].sum())
+        L = int(2 ** rng.integers(2, 6))
+        cap16 = 4 * n + 64
+        init, stream, nw = vlc.encode_lanes(syms, lens, codes, L, cap16)
+        out = vlc.decode_lanes(
+            jnp.asarray(init, jnp.uint32),
+            jnp.asarray(np.asarray(stream, np.uint32)),
+            n, lens, codes, L)
+        assert np.array_equal(np.asarray(out), syms), trial
