@@ -139,7 +139,7 @@ def _cached_dct_encoder(cfg: CodecConfig, chroma: bool):
     image_tables = ic._use_image_tables(pc)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
     quant = _dct_quant(cfg, chroma)
-    packed = ic._sparse_decode(pc)
+    packed = ic._packed_mode(pc)
 
     def enc(x):
         x = _pad8(x)
@@ -166,7 +166,7 @@ def _cached_dct_decoder(cfg: CodecConfig, chroma: bool):
     def dec(wordsA, states, stream16):
         coeffs = ic._streams_to_coeffs(
             plans, L, 3, image_tables, tctx, wordsA, states, stream16,
-            sparse=sparse, packed=sparse)
+            sparse=sparse, packed=ic._packed_mode(pc))
         qplane = pyramid_to_dct(coeffs, H, W)
         c = dct.tsuq_dct_inverse(qplane, quant)
         x = dct.lapped_post(dct.idct2d_blocks(c))

@@ -151,10 +151,12 @@ def _lanes(cfg: CodecConfig) -> int:
     # dropped 32 -> 8 for stills.
     frac = 0.015 if npix >= (1 << 22) else 0.005
     cap = int(est_bytes * frac / 4)
-    # floor: 64 lanes for the video path (per-frame latency matters),
-    # 8 for stills — at bucket-3 rates a 512^2 stream is a few KB and
-    # the 4 B/lane flush is the dominant fixed cost
-    floor = 6 if cfg.q_step >= 0 else 3
+    # floor: 32 lanes for the video path (per-frame latency matters, but
+    # the packed sparse scans keep trip counts tiny at video residual
+    # sparsity — the flush was ~2% of a 720p P-frame at 64), 8 for
+    # stills — at bucket-3 rates a 512^2 stream is a few KB and the
+    # 4 B/lane flush is the dominant fixed cost
+    floor = 5 if cfg.q_step >= 0 else 3
     l = 1 << max(floor, cap.bit_length() - 1)
     return min(32768, l)
 
@@ -839,8 +841,8 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
     capA = _cap_words_a(cfg)
     cap16 = _cap_words16(plans, L)
     image_tables = _use_image_tables(cfg)
-    packed = _sparse_decode(cfg)
-    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
+    packed = _packed_mode(cfg)
+    tctx = tbl.get_table_ctx(_table_bucket(cfg), chroma)
 
     def encode_plane(x):
         payload = _plane_payload(cfg, plans, x)
@@ -1232,12 +1234,34 @@ def _streams_to_coeffs(plans, L, nlev, image_tables, tctx,
                          sparse=sparse, packed=packed)
 
 
+def _table_bucket(cfg: CodecConfig) -> int:
+    """Rate-regime bucket for the static table sets. The video path sets
+    an explicit q_step from its own ladder (its residuals are sparse
+    bucket-3-class content) while cfg.quant carries the small video
+    index — keying the bucket on the step keeps the statistics matched
+    (round-3 coded 720p residuals with dense bucket-1 tables)."""
+    if cfg.q_step >= 256:
+        return 3
+    return tbl.rate_bucket(cfg.quant)
+
+
 def _sparse_decode(cfg: CodecConfig) -> bool:
-    """Static gate for the sparse decode scans: by q=14 the R/D kill
-    leaves well under half the worst-case slot rows active (measured
-    ~1.6% at q=20 vs ~90% at q=9 on natural-statistics content), which is
-    where row skipping beats the extra row permutations."""
-    return cfg.quant >= 14
+    """Static gate for the sparse scan modes: by q=14 (and for all sparse
+    video residual steps) the R/D kill leaves well under half the
+    worst-case slots active, which is where row skipping beats dense
+    scans."""
+    return cfg.quant >= 14 or cfg.q_step >= 256
+
+
+def _packed_mode(cfg: CodecConfig) -> bool:
+    """Rank-packed sectioned scans: active slots compact to the grid
+    front, so trip counts track the true symbol count and small lane
+    grids stay fast. The compaction/expansion passes walk the worst-case
+    grid a handful of times, which is noise for small planes but beats
+    the row-skip layout only below ~4 Mpix (measured: 4096^2 q20 decode
+    325 -> 139 Mpix/s packed vs row-skip — clustered sparsity already
+    skips whole rows there), so large planes keep the row-skip layout."""
+    return _sparse_decode(cfg) and cfg.width * cfg.height < (1 << 22)
 
 
 def build_decode_plane(cfg: CodecConfig, chroma: bool):
@@ -1247,14 +1271,15 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
     transform = Transform(cfg.transform)
     nlev = len(dims)
     image_tables = _use_image_tables(cfg)
-    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(_table_bucket(cfg), chroma)
 
     sparse = _sparse_decode(cfg)
 
     def decode_plane(wordsA, states, stream16):
         coeffs = _streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
-            wordsA, states, stream16, sparse=sparse, packed=sparse)
+            wordsA, states, stream16, sparse=sparse,
+            packed=_packed_mode(cfg))
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 
@@ -1269,7 +1294,7 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
 
 def _archival_seed(cfg: CodecConfig, chroma: bool = False) -> np.ndarray:
     """Fine static tables seed the serial coder's count-adaptive models."""
-    return tbl.fine_np(tbl.rate_bucket(cfg.quant), chroma)
+    return tbl.fine_np(_table_bucket(cfg), chroma)
 
 
 @functools.lru_cache(maxsize=16)

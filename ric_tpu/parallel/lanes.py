@@ -37,9 +37,9 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
     capA = image_codec._cap_words_a(cfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)
-    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
+    tctx = tbl.get_table_ctx(image_codec._table_bucket(cfg), chroma)
     lane_sh = NamedSharding(mesh, P(None, "sp"))
-    packed = image_codec._sparse_decode(cfg)
+    packed = image_codec._packed_mode(cfg)
 
     def constrain(rows):
         return jax.lax.with_sharding_constraint(rows, lane_sh)

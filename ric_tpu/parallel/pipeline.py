@@ -41,8 +41,8 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
     capA = image_codec._cap_words_a(cfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)
-    tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant), chroma)
-    packed = image_codec._sparse_decode(cfg)
+    tctx = tbl.get_table_ctx(image_codec._table_bucket(cfg), chroma)
+    packed = image_codec._packed_mode(cfg)
 
     def stage1(x):
         payload = image_codec._plane_payload(cfg, plans, x)

@@ -265,8 +265,8 @@ def build_tiled_encode_global(cfg: CodecConfig, mesh, chroma: bool = False):
     capA = image_codec._cap_words_a(tcfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(tcfg)
-    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
-    packed = image_codec._sparse_decode(tcfg)
+    tctx = tbl_mod.get_table_ctx(image_codec._table_bucket(tcfg), chroma)
+    packed = image_codec._packed_mode(tcfg)
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
@@ -325,7 +325,7 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh, chroma: bool = False):
     L = image_codec._lanes(tcfg)
     nlev = len(dims)
     image_tables = image_codec._use_image_tables(tcfg)
-    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+    tctx = tbl_mod.get_table_ctx(image_codec._table_bucket(tcfg), chroma)
     from ric_tpu.parallel import halo_dwt
     from ric_tpu.config import Transform
 
@@ -337,7 +337,7 @@ def build_tiled_decode_global(cfg: CodecConfig, mesh, chroma: bool = False):
             take(wordsA), take(statesB), take(stream16))
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
-            wordsA, statesB, stream16, sparse=sparse, packed=sparse)
+            wordsA, statesB, stream16, sparse=sparse, packed=image_codec._packed_mode(tcfg))
         pyr = image_codec._pyramid_from_coeffs(coeffs, nlev)
         return halo_dwt.idwt_tiled(
             pyr, cfg.width, cfg.height, Transform(cfg.transform), "sp",
@@ -427,9 +427,9 @@ def _tile_coeff_encoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
     capA = image_codec._cap_words_a(tcfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(tcfg)
-    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+    tctx = tbl_mod.get_table_ctx(image_codec._table_bucket(tcfg), chroma)
 
-    packed = image_codec._sparse_decode(tcfg)
+    packed = image_codec._packed_mode(tcfg)
 
     def enc(pyr_tile):
         payload = image_codec._payload_from_pyramid(plans, pyr_tile)
@@ -448,14 +448,14 @@ def _tile_coeff_decoder(cfg: CodecConfig, chroma: bool, tx: int, ty: int):
     L = image_codec._lanes(tcfg)
     nlev = len(dims)
     image_tables = image_codec._use_image_tables(tcfg)
-    tctx = tbl_mod.get_table_ctx(tbl_mod.rate_bucket(cfg.quant), chroma)
+    tctx = tbl_mod.get_table_ctx(image_codec._table_bucket(tcfg), chroma)
     sparse = image_codec._sparse_decode(tcfg)
     names = [p.name for p in plans]
 
     def dec(wordsA, states, stream16):
         coeffs = image_codec._streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
-            wordsA, states, stream16, sparse=sparse, packed=sparse)
+            wordsA, states, stream16, sparse=sparse, packed=image_codec._packed_mode(tcfg))
         return tuple(coeffs[n] for n in names)
 
     return jax.jit(dec), names, plans, L

@@ -60,7 +60,7 @@ def main():
     cap16 = ic._cap_words16(plans, L)
     image_tables = ic._use_image_tables(cfg)
     tctx = tbl.get_table_ctx(tbl.rate_bucket(cfg.quant))
-    packed = ic._sparse_decode(cfg)
+    packed = ic._packed_mode(cfg)
 
     img = synthetic(N, N)
     x = jnp.asarray(img).astype(jnp.int32) - 128

@@ -53,7 +53,8 @@ def plane_psnr(a, b):
 
 
 def frame_sizes(data, n, channels):
-    """Per-frame payload sizes from our RTV1 v2 container."""
+    """Per-frame (total, mv_bytes, residual_bytes) from our RTV1
+    container — the MV-vs-residual split of VERDICT r3 #9."""
     off = 22
     nlen = 1 + 2 * channels
     sizes = []
@@ -63,7 +64,7 @@ def frame_sizes(data, n, channels):
         off += 1 + 4 * nlen
         for ln in lens:
             off += ln + ((-ln) % 4)
-        sizes.append(sum(lens))
+        sizes.append((sum(lens), lens[0], sum(lens[1:])))
     return sizes
 
 
@@ -106,9 +107,9 @@ def main():
     enc.close()
     dec.close()
 
-    print("frame  type   ours(B)  ref(B)   ours Y/Cg/Co dB      "
-          "ref Y/Cg/Co dB")
-    tot_o = tot_r = 0
+    print("frame  type   ours(B)  [mv+res]       ref(B)   "
+          "ours Y/Cg/Co dB      ref Y/Cg/Co dB")
+    tot_o = tot_r = tot_mv = 0
     for t in range(n):
         src = np.stack(image_codec.rgb_to_ycocg(
             frames[t].astype(np.int32), 4))
@@ -116,14 +117,17 @@ def main():
             out[t].astype(np.int32), 4))
         po = plane_psnr(src, ours)
         pr = ref_psnrs[t]
-        tot_o += our_sizes[t]
+        tot, mv, res = our_sizes[t]
+        tot_o += tot
+        tot_mv += mv
         tot_r += ref_sizes[t]
         print(f"{t:4d} {'I' if t % video_codec.GOP_DEFAULT == 0 else 'P':>4}"
-              f" {our_sizes[t]:9d} {ref_sizes[t]:7d}   "
+              f" {tot:9d} [{mv:5d}+{res:7d}] {ref_sizes[t]:8d}   "
               f"{po[0]:5.2f}/{po[1]:5.2f}/{po[2]:5.2f}   "
               f"{pr[0]:5.2f}/{pr[1]:5.2f}/{pr[2]:5.2f}")
     npx = n * w * h
-    print(f"total ours {tot_o} B ({tot_o * 8 / npx:.3f} bpp)  "
+    print(f"total ours {tot_o} B ({tot_o * 8 / npx:.3f} bpp, "
+          f"mv {tot_mv} B = {100 * tot_mv / max(tot_o, 1):.1f}%)  "
           f"ref {tot_r} B ({tot_r * 8 / npx:.3f} bpp)  "
           f"ratio {tot_o / max(tot_r, 1):.3f}")
 
