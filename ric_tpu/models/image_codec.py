@@ -72,6 +72,7 @@ class BandPlan:
     q: int               # band quant step
     rd: tuple            # R/D kill thresholds (16 ints)
     wmax: int = 15       # static bound on the refinement field length
+    sfine: bool = False  # full-parML S context (planes < 4 Mpix)
 
 
 def band_shapes(lh: int, lw: int):
@@ -103,13 +104,16 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
         Transform(cfg.transform), nlev, _input_bound(cfg))
 
     plans = []
+    # small planes afford the 256-row S fetch; the same predicate on both
+    # sides makes the context spec part of the format
+    sfine = cfg.width * cfg.height < (1 << 22)
     ll_shape = band_shapes(*dims[-1])["L"]
     wq = qops.band_quant(quant, weights[nlev - 1]["L"])
     # LL residual: 2-D gradient of TSUQ'd lowpass, quantized with step 1
     ll_res_bound = 4 * (abs_b[nlev - 1]["L"] // max(wq, 1) + 1) + 2
     plans.append(
         BandPlan("L", "L", nlev - 1, "ll", ll_shape, _grid(ll_shape), wq, (),
-                 bounds.flen_bound(ll_res_bound, 1))
+                 bounds.flen_bound(ll_res_bound, 1), sfine)
     )
     for lvl in range(nlev - 1, -1, -1):
         shapes = band_shapes(*dims[lvl])
@@ -122,7 +126,7 @@ def make_plane_plans(cfg: CodecConfig, chroma: bool):
                 BandPlan(
                     f"{orient}{lvl}", orient, lvl, kind,
                     shapes[orient], _grid(shapes[orient]), q, rd,
-                    bounds.flen_bound(abs_b[lvl][orient], q),
+                    bounds.flen_bound(abs_b[lvl][orient], q), sfine,
                 )
             )
     return plans, dims
@@ -149,7 +153,7 @@ def _lanes(cfg: CodecConfig) -> int:
     # rate gap vs the reference (q21: 128 B on streams as small as 340 B),
     # so the small-image budget tightened 0.0075 -> 0.005 and the floor
     # dropped 32 -> 8 for stills.
-    frac = 0.015 if npix >= (1 << 22) else 0.005
+    frac = 0.015 if npix >= (1 << 22) else 0.0035
     cap = int(est_bytes * frac / 4)
     # floor: 32 lanes for the video path (per-frame latency matters, but
     # the packed sparse scans keep trip counts tiny at video residual
@@ -420,8 +424,20 @@ def _plan_bases(p: BandPlan):
         kb = tbl.kh_fine_base(oid)
     else:
         kb = tbl.kl_fine_base(lvlc, oid)
-    sb = tbl.s_fine_base(lvlc)
+    sb = tbl.s16_fine_base(lvlc) if p.sfine else tbl.s_fine_base(lvlc)
     return zb, kb, sb
+
+
+def _s_width(p: BandPlan) -> int:
+    """S-table slice width: 256 rows (full parML) on small planes,
+    64 (pml4) on large ones."""
+    return 256 if p.sfine else 64
+
+
+def _sctx_of(p: BandPlan, ctx, k2d):
+    """Per-block S context row within the band's S slice."""
+    pml = ctx if p.sfine else _pml4(ctx)
+    return pml * 16 + jnp.clip(k2d - 1, 0, 15)
 
 
 def _sel17(table_np, k):
@@ -568,7 +584,8 @@ def _payload_from_pyramid(plans, pyr):
             "z": z, "z_act": z_act, "sig": s_mask, "nbq": nbq,
             "pat_va": va, "pat_wa": wa, "pat_vb": vb, "pat_wb": wb,
             "active": active, "s": s, "field": field, "flen": flen,
-            "sctx": sctx, "sctxf": _pml4(ctx) * 16 + sctx,
+            "sctx": sctx,
+            "sctxf": (ctx if p.sfine else _pml4(ctx)) * 16 + sctx,
         })
     return payload
 
@@ -652,7 +669,8 @@ def _band_hist_fine(pay):
     hist = _hist_acc(hist, kb, ctxA, ksA, sgA, nk)
     hist = _hist_acc(hist, kbB, tidB, ksB, sgB, nk, nctx=96)
     sctx = pay["sctxf"][..., None] * jnp.ones((1, 1, 16), jnp.int32)
-    hist = _hist_acc(hist, sb, sctx, pay["s"], pay["active"], 32, nctx=64)
+    hist = _hist_acc(hist, sb, sctx, pay["s"], pay["active"], 32,
+                     nctx=_s_width(p))
     return hist.astype(jnp.int32)
 
 
@@ -750,7 +768,8 @@ def _band_rows(pay, tables, L: int, packed: bool = False):
     sctx = (pay["sctxf"][..., None]
             * jnp.ones((1, 1, 16), jnp.int32)).ravel()
     pk_s = rans.enc_pack_model(
-        rans.slice_tables(tables, sb, 64), pay["s"].ravel(), sctx, act)
+        rans.slice_tables(tables, sb, _s_width(p)), pay["s"].ravel(),
+        sctx, act)
     parts = _ref_split(pay["field"].ravel(), pay["flen"].ravel(),
                        _ref_phases(p))
     pk_ref = [rans.enc_pack_uniform(v, w, act) for v, w in parts]
@@ -984,7 +1003,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
         ctxA, ctxB = _cb_split(ctx, 0)
         aliveA, aliveB = _cb_split(a, False)
         if reader is None:
-            stab = rans.slice_tables(tables, sb, 64)
+            stab = rans.slice_tables(tables, sb, _s_width(p))
 
         def zk_scan(x, gpos, tid_g, alive_g, ztab, ktab):
             def zk_body(carry, inp):
@@ -1120,7 +1139,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
 
         # SREF (fine ctx: parML*16 + min(k-1,15); parML is the same per-
         # block ctx the ZK scan used — decoded data, both sides agree)
-        sctx = _pml4(ctx) * 16 + jnp.clip(k2d - 1, 0, 15)
+        sctx = _sctx_of(p, ctx, k2d)
         sctx_cf = sctx[..., None] * jnp.ones((1, 1, 16), jnp.int32)
         phases = _ref_phases(p)
         ncf = n * 16

@@ -58,7 +58,13 @@ SF_BASE = 288
 ZB_BASE = 480           # pass-B zerotree: (lvlc*3+orient) * 96 + pml*6+nbq
 KLB_BASE = 480 + 864    # pass-B k, low bands
 KHB_BASE = 480 + 864 + 576  # pass-B k, finest bands
-N_FINE = 480 + 864 + 576 + 288
+# full-parML S rows (lvlc * 256 + pml*16 + min(k-1,15)): planes < 4 Mpix
+# scan with the 16-class parent context (probe: the 4-class quantization
+# captures ~none of parML's S-stream value; the full context is worth
+# ~1.5%/1% of stream at q9/q13) — large planes keep the 64-row pml4
+# fetch for scan speed.
+SF16_BASE = 480 + 864 + 576 + 288
+N_FINE = SF16_BASE + 768
 
 # RIC_TABLES overrides the shipped table set (held-out-split experiments,
 # tools/tablegen.py --out; the override changes the bitstream format, so
@@ -94,6 +100,10 @@ def klb_fine_base(lvlc: int, orient: int) -> int:
 
 def khb_fine_base(orient: int) -> int:
     return KHB_BASE + orient * 96
+
+
+def s16_fine_base(lvlc: int) -> int:
+    return SF16_BASE + lvlc * 256
 
 
 def _fine_layout():
@@ -145,6 +155,15 @@ def _fine_layout():
         coarse[b : b + 96] = KH_BASE + pml_of
         nsym[b : b + 96] = 16
         twin[b : b + 96] = kh_fine_base(o) + pml_of
+    # SF16: pml-major, k-class minor; twin = the pml4-quantized row
+    kc = np.tile(np.arange(16), 16)
+    pml = np.repeat(np.arange(16), 16)
+    pml4 = (pml > 0).astype(np.int64) + (pml > 2) + (pml > 5)
+    for lvlc in range(3):
+        b = s16_fine_base(lvlc)
+        coarse[b : b + 256] = S_BASE + kc
+        nsym[b : b + 256] = ALPHABET
+        twin[b : b + 256] = s_fine_base(lvlc) + pml4 * 16 + kc
     return coarse, nsym, twin
 
 

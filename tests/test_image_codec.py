@@ -97,8 +97,13 @@ def test_high_quant_sparse_decode_matches_dense(rng, monkeypatch):
     mse = float(np.mean((out_sparse.astype(np.float64) - img) ** 2))
     psnr = 10 * np.log10(255.0**2 / mse)
     assert psnr > 26.0, f"q20 roundtrip PSNR too low: {psnr:.2f} dB"
-    # force the dense scans through an uncached decoder; outputs must match
+    # force plain lax.scan (no row skipping) through an uncached decoder;
+    # outputs must match. The packed-layout gate is FORMAT (it must keep
+    # matching the encoder), so it is pinned to its original value while
+    # only the row-skip execution path is toggled.
+    was_packed = image_codec._packed_mode(cfg)
     monkeypatch.setattr(image_codec, "_sparse_decode", lambda c: False)
+    monkeypatch.setattr(image_codec, "_packed_mode", lambda c: was_packed)
     monkeypatch.setattr(
         image_codec, "_cached_decoder",
         lambda cfg, chroma: image_codec.build_decode_plane(cfg, chroma))
