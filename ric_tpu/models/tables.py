@@ -69,8 +69,8 @@ N_FINE = SF16_BASE + 768
 # RIC_TABLES overrides the shipped table set (held-out-split experiments,
 # tools/tablegen.py --out; the override changes the bitstream format, so
 # streams written under it decode only under the same tables)
-_NPZ = os.environ.get(
-    "RIC_TABLES", os.path.join(os.path.dirname(__file__), "tables.npz"))
+_NPZ = os.environ.get("RIC_TABLES") or os.path.join(
+    os.path.dirname(__file__), "tables.npz")
 
 
 def z_fine_base(lvlc: int, orient: int) -> int:
