@@ -200,12 +200,38 @@ def main():
                  if ref else ""),
               file=sys.stderr)
 
+    # roofline check (VERDICT r3 #2): triad-achievable bandwidth vs the
+    # DWT stage's bytes-moved model (tools/roofline.py has the full
+    # per-stage table; the scans are latency-bound, not traffic-bound)
+    roof = {}
+    try:
+        from ric_tpu.ops import lifting
+        from ric_tpu.config import Transform as _T
+
+        nw = 1 << 28
+        xw = jnp.arange(nw, dtype=jnp.int32)
+        triad = jax.jit(lambda v: v + 1)
+        dt_t, _ = timeit(triad, (xw,), reps=8)
+        bw = 2 * nw * 4 / dt_t
+        dwt = jax.jit(lambda v: lifting.dwt(v, _T.CDF53, 5))
+        xq0 = jnp.asarray(img).astype(jnp.int32) - 128
+        dt_d, _ = timeit(dwt, (xq0,), reps=8)
+        model_bytes = (4 * 3 + 2) * 4 * 1.33 * N * N  # see tools/roofline.py
+        roof = {
+            "triad_gbs": round(bw / 1e9, 1),
+            "dwt_ms": round(dt_d * 1e3, 2),
+            "dwt_bw_util": round(100 * model_bytes / dt_d / bw, 1),
+        }
+    except Exception as e:  # pragma: no cover - measurement best-effort
+        print(f"roofline row skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "lossless_encdec_throughput",
         "value": round(headline, 2),
         "unit": "Mpix/s",
         "vs_baseline": round(headline / BASELINE_COMBINED_MPIX_S, 2),
         "rows": rows_out,
+        "roofline": roof,
     }))
 
 
