@@ -1279,8 +1279,12 @@ def _packed_mode(cfg: CodecConfig) -> bool:
     grid a handful of times, which is noise for small planes but beats
     the row-skip layout only below ~4 Mpix (measured: 4096^2 q20 decode
     325 -> 139 Mpix/s packed vs row-skip — clustered sparsity already
-    skips whole rows there), so large planes keep the row-skip layout."""
-    return _sparse_decode(cfg) and cfg.width * cfg.height < (1 << 22)
+    skips whole rows there), so large planes keep the row-skip layout.
+    The video path (q_step set) stays on row-skip too: its fused
+    per-frame graphs embed encode AND in-loop decode, and the packed
+    sections inflated that compile pathologically (42 GB RSS, >1 h)."""
+    return (_sparse_decode(cfg) and cfg.q_step < 0
+            and cfg.width * cfg.height < (1 << 22))
 
 
 def build_decode_plane(cfg: CodecConfig, chroma: bool):

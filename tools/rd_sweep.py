@@ -18,6 +18,7 @@ sys.path.insert(0, "tools")
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 from ric_tpu.utils import cache as _cc
 _cc.setup(jax)
 from oracle import oracle

@@ -21,6 +21,7 @@ sys.path.insert(0, ".")
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 from ric_tpu.utils import cache as _cc
 _cc.setup(jax)
 from ric_tpu.models import image_codec, video_codec
