@@ -121,6 +121,23 @@ def main():
                     hcounts = fn(plane)
                     hists[1, bucket] += np.asarray(hcounts, np.float64)
         print(f"chroma image done; total syms {hists.sum():.3e}", flush=True)
+    # the stats configs are all sub-4-Mpix (sfine), so S counts land in
+    # the SF16 rows; marginalize them down to the pml4 rows big planes
+    # scan with (sum over the parML values of each pml4 class) — without
+    # this the >=4-Mpix S tables would normalize from zero counts to
+    # uniform (caught as a 2x bpp regression on the 4096^2 bench).
+    a16 = np.arange(16)
+    pml4 = ((a16 > 0).astype(int) + (a16 > 2).astype(int)
+            + (a16 > 5).astype(int))
+    for lvlc in range(3):
+        b16 = tbl.s16_fine_base(lvlc)
+        b4 = tbl.s_fine_base(lvlc)
+        sf = np.zeros((2, tbl.N_BUCKETS, 4, 16, tbl.ALPHABET))
+        for p in range(16):
+            sf[:, :, int(pml4[p])] += hists[
+                :, :, b16 + p * 16 : b16 + (p + 1) * 16]
+        hists[:, :, b4 : b4 + 64] = sf.reshape(
+            2, tbl.N_BUCKETS, 64, tbl.ALPHABET)
     np.savez(out, counts=hists)
     print(f"wrote {out}")
 
