@@ -157,10 +157,11 @@ def _lanes(cfg: CodecConfig) -> int:
     cap = int(est_bytes * frac / 4)
     # floor: 32 lanes for the video path (per-frame latency matters, but
     # the packed sparse scans keep trip counts tiny at video residual
-    # sparsity — the flush was ~2% of a 720p P-frame at 64), 8 for
-    # stills — at bucket-3 rates a 512^2 stream is a few KB and the
-    # 4 B/lane flush is the dominant fixed cost
-    floor = 5 if cfg.q_step >= 0 else 3
+    # sparsity — the flush was ~2% of a 720p P-frame at 64), 2 for
+    # stills — at bucket-3 rates a 512^2 stream can be a few hundred
+    # bytes and the 4 B/lane flush is the dominant fixed cost; the packed
+    # scans keep ceil(active/L) trip counts tolerable at these sizes
+    floor = 5 if cfg.q_step >= 0 else 1
     l = 1 << max(floor, cap.bit_length() - 1)
     return min(32768, l)
 
@@ -285,8 +286,24 @@ def _plan_rows(plans, L: int) -> int:
     return rows
 
 
+def _recon_offsets(cfg: CodecConfig) -> bool:
+    """Centroid dequantization (v4 format): the encoder fits one 4-bit
+    reconstruction bias per high band (applied as mag*q - d at mag==1 and
+    mag*q - 2d at mag>=2, d = nibble*q/64) and ships it at the head of
+    stream A. The reference reconstructs at the bin center (band.h:94-107
+    TSUQi); wavelet coefficients are Laplacian-ish, so the in-bin centroid
+    sits below the center and the fitted bias buys +0.02..+0.04 dB at the
+    SAME rate (tools/recon_probe.py). Gated to mid/high-rate stills big
+    enough that the 8 B side info is noise; sparse bucket-3 streams gain
+    less than 8 B costs them."""
+    return (not cfg.lossless and cfg.q_step < 0
+            and tbl.rate_bucket(cfg.quant) <= 2
+            and cfg.width * cfg.height >= (1 << 17)
+            and cfg.levels <= 5)  # 3*levels+1 plans must fit 16 nibbles
+
+
 def _cap_words_a(cfg) -> int:
-    return _TABLE_SECTION_BITS // 32 + 2
+    return _TABLE_SECTION_BITS // 32 + 2 + (2 if _recon_offsets(cfg) else 0)
 
 
 def _cap_words16(plans, L: int) -> int:
@@ -579,7 +596,28 @@ def _payload_from_pyramid(plans, pyr):
         k_eff = jnp.where(s_mask, k, 0)
         kA, _ = _cb_split(k_eff, 0)
         nbq = _nbq_of(_cb_merge(kA, jnp.zeros_like(kA), p.grid[1]))
+        # centroid-dequant nibble (see _recon_offsets): LS fit of the
+        # tied two-class bias d (mag==1) / 2d (mag>=2) against the true
+        # pre-quantization coefficients, quantized to d = nib*q/64
+        if p.kind == "ll" or p.q <= 1:
+            dnib = jnp.int32(0)
+        else:
+            t_blk = blocks.to_blocks(
+                blocks.pad4(pyr[p.level][p.orient])).astype(jnp.float32)
+            xq = u2s_(jnp.where(s_mask[..., None], u_blk, 0))
+            mag = jnp.abs(xq)
+            over = (mag * p.q - jnp.sign(xq) * t_blk).astype(jnp.float32)
+            m1 = mag == 1
+            m2 = mag >= 2
+            n1 = jnp.sum(m1.astype(jnp.float32))
+            n2 = jnp.sum(m2.astype(jnp.float32))
+            s12 = (jnp.sum(jnp.where(m1, over, 0.0))
+                   + 2.0 * jnp.sum(jnp.where(m2, over, 0.0)))
+            d = s12 / jnp.maximum(n1 + 4.0 * n2, 1.0)
+            dnib = jnp.clip(
+                jnp.round(d * (64.0 / p.q)), 0, 15).astype(jnp.int32)
         payload.append({
+            "dnib": dnib,
             "plan": p, "u": u_blk, "k": k, "ctx": ctx, "alive": a,
             "z": z, "z_act": z_act, "sig": s_mask, "nbq": nbq,
             "pat_va": va, "pat_wa": wa, "pat_vb": vb, "pat_wb": wb,
@@ -798,13 +836,18 @@ def _modulated_tables(tctx, q_img):
 
 
 def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
-                        payload, constrain=None, packed=False):
+                        payload, constrain=None, packed=False,
+                        recon=False):
     """Shared encoder tail: payload -> (wordsA, totalA, wordsB, totalB).
     Stream B = uint16 wire words: [2L state halves][16-bit renorm words].
 
     `constrain` (optional) applies a sharding constraint to the packed
     (T, L) grid so the rANS scan partitions over the lane axis — the
     tensor-style within-stage parallelism of parallel/lanes.py."""
+    if recon:
+        # 16 centroid-dequant nibbles (plans order) head stream A as two
+        # u32 words; the table section follows at word offset 2
+        capA = capA - 2
     if image_tables:
         hist = _hist_from_payload(payload)
         q_img = rans.device_normalize(hist, jnp.asarray(tbl._VALID))
@@ -834,6 +877,13 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
         enc_tables = tctx["dense"]
         wordsA = jnp.zeros((capA,), jnp.uint32)
         totalA = jnp.int32(0)
+    if recon:
+        nibw = jnp.zeros((2,), jnp.uint32)
+        for i, pay in enumerate(payload):
+            nibw = nibw.at[i // 8].add(
+                pay["dnib"].astype(jnp.uint32) << (4 * (i % 8)))
+        wordsA = jnp.concatenate([nibw, wordsA])
+        totalA = totalA + 64
     rows = _encode_rows(plans, payload, enc_tables, L, packed)
     if constrain is not None:
         rows = constrain(rows)
@@ -867,7 +917,7 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
         payload = _plane_payload(cfg, plans, x)
         return _payload_to_streams(
             plans, L, capA, cap16, image_tables, tctx, payload,
-            packed=packed)
+            packed=packed, recon=_recon_offsets(cfg))
 
     return jax.jit(encode_plane)
 
@@ -907,7 +957,8 @@ def _from_grid2(g, grid):
 
 
 def _decode_bands(plans, L, tables, states, stream, nlev,
-                  reader=None, sparse=False, packed=False):
+                  reader=None, sparse=False, packed=False,
+                  recon_nibs=None):
     """Decode all band coefficient arrays from the word stream.
 
     When `reader` is None this builds the jit scan graph over (states,
@@ -974,7 +1025,7 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
         if states is not None else None
     )
 
-    for p in plans:
+    for pi, p in enumerate(plans):
         grid = p.grid
         n = grid[0] * grid[1]
         T_blk = -(-n // L)
@@ -1218,7 +1269,16 @@ def _decode_bands(plans, L, tables, states, stream, nlev,
             coeffs["L"] = qops.tsuq_inverse(_cumsum2d(res), p.q)
         else:
             if p.q > 1:
-                xq = xq * p.q
+                if recon_nibs is not None:
+                    # centroid dequant (see _recon_offsets): bias the
+                    # reconstruction below the bin center by d / 2d for
+                    # mag 1 / >=2, d = nib*q/64 fitted by the encoder
+                    d1 = (recon_nibs[pi] * p.q) >> 6
+                    mag = jnp.abs(xq)
+                    xq = jnp.sign(xq) * jnp.maximum(
+                        mag * p.q - jnp.where(mag == 1, d1, 2 * d1), 0)
+                else:
+                    xq = xq * p.q
             coeffs[p.name] = blocks.from_blocks(xq, *p.shape)
 
     return coeffs
@@ -1236,7 +1296,7 @@ def _pyramid_from_coeffs(coeffs, nlev):
 
 def _streams_to_coeffs(plans, L, nlev, image_tables, tctx,
                        wordsA, states, stream16, sparse=False,
-                       packed=False):
+                       packed=False, recon=False):
     """Shared decoder head: parsed stream arrays -> band coefficients.
 
     `image_tables` marks static section CANDIDACY (must match the
@@ -1244,13 +1304,20 @@ def _streams_to_coeffs(plans, L, nlev, image_tables, tctx,
     unconditionally — an absent section unpacks to all-zero deltas, and
     modulate(fine, stat, stat) == fine exactly, so the same graph decodes
     both per-image-table and static streams."""
+    recon_nibs = None
+    if recon:
+        idx = jnp.arange(16)
+        recon_nibs = ((wordsA[idx // 8] >> (4 * (idx % 8))) & 15).astype(
+            jnp.int32)
+        wordsA = wordsA[2:]
     if image_tables:
         q_img = _unpack_table_section(wordsA, jnp.asarray(tctx["coarse"]))
         dtables = _modulated_tables(tctx, q_img)
     else:
         dtables = tctx["dense"]
     return _decode_bands(plans, L, dtables, states, stream16, nlev,
-                         sparse=sparse, packed=packed)
+                         sparse=sparse, packed=packed,
+                         recon_nibs=recon_nibs)
 
 
 def _table_bucket(cfg: CodecConfig) -> int:
@@ -1302,7 +1369,7 @@ def build_decode_plane(cfg: CodecConfig, chroma: bool):
         coeffs = _streams_to_coeffs(
             plans, L, nlev, image_tables, tctx,
             wordsA, states, stream16, sparse=sparse,
-            packed=_packed_mode(cfg))
+            packed=_packed_mode(cfg), recon=_recon_offsets(cfg))
         pyr = _pyramid_from_coeffs(coeffs, nlev)
         return lifting.idwt(pyr, cfg.width, cfg.height, transform)
 

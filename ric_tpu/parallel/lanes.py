@@ -48,6 +48,7 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
         payload = image_codec._plane_payload(cfg, plans, x)
         return image_codec._payload_to_streams(
             plans, L, capA, cap16, image_tables, tctx, payload,
-            constrain=constrain, packed=packed)
+            constrain=constrain, packed=packed,
+            recon=image_codec._recon_offsets(cfg))
 
     return jax.jit(encode_plane)

@@ -57,7 +57,7 @@ def build_pipeline_encoder(cfg: CodecConfig, dev_transform, dev_entropy,
         ]
         return image_codec._payload_to_streams(
             plans, L, capA, cap16, image_tables, tctx, payload,
-            packed=packed)
+            packed=packed, recon=image_codec._recon_offsets(cfg))
 
     stage1_j = jax.jit(stage1)
     stage2_j = jax.jit(stage2)

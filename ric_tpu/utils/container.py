@@ -34,12 +34,30 @@ import numpy as np
 from ric_tpu.config import CodecConfig, Transform
 
 MAGIC = b"RTP1"
-# v3: round-4 bitstream (regenerated fine-context tables.npz layout,
-# delta+bitmap table-section format, still-image lane-floor change, uint16
-# stream-B wire layout). Bumped so pre-round-4 containers are rejected by
-# the version check instead of silently misdecoding (per-substream CRCs
-# cover bytes, not semantics).
-VERSION = 3
+# v4: round-4 final bitstream (slim container layout for small untiled
+# images, still-image lane floor 8 -> 2, centroid reconstruction offsets).
+# Bumped so earlier containers are rejected by the version check instead
+# of silently misdecoding (per-substream CRCs cover bytes, not semantics).
+VERSION = 4
+
+# Slim layout marker: version byte's top bit. Small untiled images write a
+# 19 B (gray) / 27 B (color) header+integrity envelope instead of the full
+# 44/76 B one — at 512^2 corpus rates the full envelope alone was ~1% of
+# the container (tools/rate_audit.py), against the reference's 9 B header.
+# Layout (little-endian):
+#   0   4s  magic "RTP1"
+#   4   u8  0x80 | version
+#   5   u8  flags (same bits as the full layout)
+#   6   u8  quant
+#   7   u8  levels
+#   8   u16 width, u16 height
+#   12  u8  lanes
+#   13  u16 x (nstreams-1)  byte length of each substream but the last
+#             (the last is implied by the container length)
+#   then u32 CRC32 over every other byte of the container (header, length
+#   table, and all substream bytes — one whole-container check instead of
+#   the full layout's per-substream table), then the substreams, unpadded.
+SLIM = 0x80
 
 
 class BadMagic(ValueError):
@@ -61,6 +79,20 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
     flags |= 1 << 5  # per-substream CRC32 table present
     flags |= (1 if mode2 else 0) << 6  # global-DWT (mode-2) tile grid
     flags |= (1 if dct else 0) << 7  # lapped-binDCT coding profile
+    from ric_tpu.utils.native import crc32
+
+    if (tiles == (1, 1) and not mode2 and cfg.width < 0x10000
+            and cfg.height < 0x10000
+            and all(len(s) < 0x10000 for s in streams)):
+        head = struct.pack(
+            "<4sBBBBHHB", MAGIC, SLIM | VERSION, flags, cfg.quant,
+            cfg.levels, cfg.width, cfg.height,
+            cfg.lanes_log2 + 1 if cfg.lanes_log2 >= 0 else 0)
+        lens = struct.pack(
+            f"<{len(streams) - 1}H", *[len(s) for s in streams[:-1]])
+        body = b"".join(streams)
+        crc = struct.pack("<I", crc32(head + lens + body))
+        return head + lens + crc + body
     head = struct.pack(
         "<4sBBBBIIHHBBBB",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
@@ -85,6 +117,8 @@ def read_container(data: bytes):
     """Returns (cfg, streams, tiles, archival, mode2, dct)."""
     if data[:4] != MAGIC:
         raise BadMagic("bad magic (expected RTP1)")
+    if data[4] & SLIM:
+        return _read_slim(data)
     (_, version, flags, quant, levels, width, height, tx, ty,
      lanes_b, _r0, _r1, _r2) = struct.unpack("<4sBBBBIIHHBBBB", data[:24])
     if version != VERSION:
@@ -127,3 +161,37 @@ def read_container(data: bytes):
     mode2 = bool((flags >> 6) & 1)
     dctp = bool((flags >> 7) & 1)
     return cfg, streams, (tx, ty), bool((flags >> 4) & 1), mode2, dctp
+
+
+def _read_slim(data: bytes):
+    (_, vb, flags, quant, levels, width, height,
+     lanes_b) = struct.unpack("<4sBBBBHHB", data[:13])
+    if (vb & ~SLIM) != VERSION:
+        raise ValueError(f"unsupported version {vb & ~SLIM}")
+    channels = 3 if (flags & 1) else 1
+    cfg = CodecConfig(
+        width=width, height=height, channels=channels, quant=quant,
+        transform=Transform((flags >> 1) & 3), levels=levels,
+        input_depth=16 if (flags >> 3) & 1 else 8,
+        lanes_log2=lanes_b - 1 if lanes_b else -1,
+    )
+    nstreams = channels * 2
+    off = 13
+    lens = struct.unpack(
+        f"<{nstreams - 1}H", data[off : off + 2 * (nstreams - 1)])
+    off += 2 * (nstreams - 1)
+    from ric_tpu.utils.native import crc32
+
+    (crc,) = struct.unpack("<I", data[off : off + 4])
+    if crc32(data[: off] + data[off + 4 :]) != crc:
+        raise CorruptStream("container CRC mismatch")
+    off += 4
+    last = len(data) - off - sum(lens)
+    if last < 0:
+        raise CorruptStream("container truncated (length table overruns)")
+    streams = []
+    for ln in lens + (last,):
+        streams.append(data[off : off + ln])
+        off += ln
+    return (cfg, streams, (1, 1), bool((flags >> 4) & 1), False,
+            bool((flags >> 7) & 1))

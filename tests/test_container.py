@@ -12,16 +12,39 @@ def test_bad_magic():
 
 
 def test_crc_roundtrip_and_corruption():
+    # small untiled image -> slim layout, one whole-container CRC
     cfg = CodecConfig(width=16, height=16)
     streams = [b"hello world!", b"stream two bytes"]
     data = container.write_container(cfg, streams)
+    assert len(data) == 19 + sum(len(s) for s in streams)
     cfg2, out, tiles, arch, _m2, _d = container.read_container(data)
     assert out == streams and not arch
-    # flip a byte inside the second substream
+    bad = bytearray(data)
+    bad[-3] ^= 0xFF
+    with pytest.raises(container.CorruptStream, match="container CRC"):
+        container.read_container(bytes(bad))
+
+
+def test_full_layout_crc_localization():
+    # dims past u16 force the full layout: per-substream CRC table
+    cfg = CodecConfig(width=70000, height=16)
+    streams = [b"hello world!", b"stream two bytes"]
+    data = container.write_container(cfg, streams)
+    cfg2, out, tiles, arch, _m2, _d = container.read_container(data)
+    assert out == streams and cfg2.width == 70000
     bad = bytearray(data)
     bad[-3] ^= 0xFF
     with pytest.raises(container.CorruptStream, match="substream 1"):
         container.read_container(bytes(bad))
+
+
+def test_slim_layout_big_stream_falls_back():
+    # a substream past u16 bytes forces the full layout even untiled
+    cfg = CodecConfig(width=16, height=16)
+    streams = [b"x" * 70000, b"y"]
+    data = container.write_container(cfg, streams)
+    assert not (data[4] & container.SLIM)
+    assert container.read_container(data)[1] == streams
 
 
 def test_fuzz_truncation_and_corruption(rng):
