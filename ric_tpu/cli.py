@@ -72,6 +72,10 @@ def main(argv=None) -> int:
     ap.add_argument("--lanes", type=int, default=-1,
                     help="log2 rANS lane count (speed/rate knob; "
                          "default: rate-aware auto)")
+    ap.add_argument("--no-check", action="store_true",
+                    help="drop the container CRC (4 B): the bare envelope "
+                         "the reference format ships; corruption then "
+                         "decodes to garbage instead of raising")
     args = ap.parse_args(argv)
     if (args.gtiles or args.tiles) and args.profile != "rans":
         # the tiled paths always encode the rans mode-1/mode-2 profiles;
@@ -125,7 +129,8 @@ def main(argv=None) -> int:
 
         data = dct_codec.encode_image_dct(img, cfg)
     else:
-        data = image_codec.encode_image(img, cfg, profile=args.profile)
+        data = image_codec.encode_image(img, cfg, profile=args.profile,
+                                        check=not args.no_check)
     out = args.outfile
     if not out:
         stem, _ = os.path.splitext(infile)

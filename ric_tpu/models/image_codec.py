@@ -146,13 +146,25 @@ def _lanes(cfg: CodecConfig) -> int:
         return 1 << cfg.lanes_log2
     npix = cfg.width * cfg.height
     bucket = 3 if cfg.q_step >= 256 else tbl.rate_bucket(cfg.quant)
-    est_bytes = npix * _BPP_EST[bucket] / 8
+    bpp_est = _BPP_EST[bucket]
+    if bucket == 3 and cfg.q_step < 0 and npix < (1 << 22):
+        # within bucket 3 the real rate keeps falling geometrically with
+        # quant (~2x per 3 steps: corpus q21 streams run 0.005-0.05 bpp
+        # against the bucket's 0.4 estimate), and on small planes the
+        # 4 B/lane flush priced off that estimate was 10-25% of the whole
+        # stream (rate_audit: darkwood q21 took 8 lanes = 32 B on a 235 B
+        # stream). Track the decay so deep-quant small planes drop to the
+        # 2-lane floor. Large planes keep the flat estimate: their lane
+        # count trades against scan trip count, not rate.
+        bpp_est *= 2.0 ** (-(cfg.quant - 14) / 3.0)
+    est_bytes = npix * bpp_est / 8
     # large images take the wider grid (scan-step count dominates their
     # runtime); small images take the tighter rate budget. Round-4 audit
     # (tools/rate_audit.py): at 512^2 the flush was 50-100% of the whole
     # rate gap vs the reference (q21: 128 B on streams as small as 340 B),
-    # so the small-image budget tightened 0.0075 -> 0.005 and the floor
-    # dropped 32 -> 8 for stills.
+    # so the small-image budget tightened to 0.0035 and the still floor
+    # dropped to 2 lanes (the packed sparse scans keep trip counts
+    # tolerable at narrow grids).
     frac = 0.015 if npix >= (1 << 22) else 0.0035
     cap = int(est_bytes * frac / 4)
     # floor: 32 lanes for the video path (per-frame latency matters, but
@@ -526,9 +538,12 @@ def _ref_join(parts):
 # --------------------------------------------------------------------------
 
 
-def _payload_from_pyramid(plans, pyr):
+def _payload_from_pyramid(plans, pyr, recon: bool = False):
     """Quantize + zerotree + per-band payload arrays (encoder forward
-    half; also drives the table-fitting statistics pass)."""
+    half; also drives the table-fitting statistics pass). `recon` gates
+    the centroid-dequant nibble fit (_recon_offsets): when the stream
+    won't ship the nibbles (video, lossless, tiled, bucket-3) the float
+    fit pass is skipped entirely instead of computed and discarded."""
     nlev = len(pyr)
     plan_by_name = {p.name: p for p in plans}
 
@@ -599,7 +614,7 @@ def _payload_from_pyramid(plans, pyr):
         # centroid-dequant nibble (see _recon_offsets): LS fit of the
         # tied two-class bias d (mag==1) / 2d (mag>=2) against the true
         # pre-quantization coefficients, quantized to d = nib*q/64
-        if p.kind == "ll" or p.q <= 1:
+        if not recon or p.kind == "ll" or p.q <= 1:
             dnib = jnp.int32(0)
         else:
             t_blk = blocks.to_blocks(
@@ -630,7 +645,7 @@ def _payload_from_pyramid(plans, pyr):
 
 def _plane_payload(cfg: CodecConfig, plans, x):
     pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
-    return _payload_from_pyramid(plans, pyr)
+    return _payload_from_pyramid(plans, pyr, recon=_recon_offsets(cfg))
 
 
 def _hist_acc(hist, base, ctx, sym, act, nsym, nctx: int = 16):
@@ -835,9 +850,21 @@ def _modulated_tables(tctx, q_img):
     return rans.enc_dec_tables(freq_fine)
 
 
+def _prefix_compact(cfg: CodecConfig) -> bool:
+    """Encoder-only gate for the prefix word compaction (byte-identical
+    stream, pure speed): pays exactly where the row-skip scan regime
+    lives — big sparse stills whose worst-case grids dwarf the emitting
+    prefix (compact_words alone was 47 of 129 ms at 4096^2 q20). Dense
+    grids keep the dense 3-stage compaction (the dynamic chunk loop
+    would walk the whole grid with loop overhead on top); the video
+    path keeps it too (its fused frame graphs are compile-fragile)."""
+    return (_sparse_decode(cfg) and not _packed_mode(cfg)
+            and cfg.q_step < 0)
+
+
 def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
                         payload, constrain=None, packed=False,
-                        recon=False):
+                        recon=False, prefix=False):
     """Shared encoder tail: payload -> (wordsA, totalA, wordsB, totalB).
     Stream B = uint16 wire words: [2L state halves][16-bit renorm words].
 
@@ -890,8 +917,13 @@ def _payload_to_streams(plans, L, capA, cap16, image_tables, tctx,
     # partitioned-order emission grids: stable partition + silent inactive
     # rows make raster compaction order-equivalent, so the two full-grid
     # inverse permutations are skipped
-    states, emit, words = rans.encode_packed_sparse(rows, reorder=False)
-    stream16, nw = rans.compact_words(emit, words, cap16)
+    if prefix:
+        states, emit, words, kact = rans.encode_packed_sparse(
+            rows, reorder=False, return_nact=True)
+        stream16, nw = rans.compact_words_prefix(emit, words, cap16, kact)
+    else:
+        states, emit, words = rans.encode_packed_sparse(rows, reorder=False)
+        stream16, nw = rans.compact_words(emit, words, cap16)
     # wordsB is uint16: its row-major bytes ARE the wire layout, so no
     # element-order-preserving width change (a cross-lane de-interleave,
     # ~30 ms at 40M words on TPU) ever runs on device. The L states open
@@ -917,7 +949,8 @@ def build_encode_plane(cfg: CodecConfig, chroma: bool):
         payload = _plane_payload(cfg, plans, x)
         return _payload_to_streams(
             plans, L, capA, cap16, image_tables, tctx, payload,
-            packed=packed, recon=_recon_offsets(cfg))
+            packed=packed, recon=_recon_offsets(cfg),
+            prefix=_prefix_compact(cfg))
 
     return jax.jit(encode_plane)
 
@@ -1789,11 +1822,13 @@ def decode_batch(datas: list[bytes], mesh=None) -> np.ndarray:
 
 
 def encode_image(img: np.ndarray, cfg: CodecConfig,
-                 profile: str = "rans") -> bytes:
+                 profile: str = "rans", check: bool = True) -> bytes:
     """img: (H,W) or (H,W,3) uint8/uint16. Returns RTP1 container bytes.
 
     profile: "rans" (parallel, default) or "archival" (serial adaptive
-    range coder via the native backend — max compression)."""
+    range coder via the native backend — max compression).
+    check=False drops the slim container CRC (4 B) — the envelope the
+    reference ships; see utils/container.py."""
     img = jnp.asarray(img).astype(jnp.int32)
     enc = (
         encode_plane_archival if profile == "archival" else encode_plane_bytes
@@ -1815,7 +1850,7 @@ def encode_image(img: np.ndarray, cfg: CodecConfig,
             x = img - mid
         streams += list(enc(x, cfg, chroma=False))
     return container.write_container(
-        cfg, streams, archival=(profile == "archival")
+        cfg, streams, archival=(profile == "archival"), check=check
     )
 
 

@@ -356,7 +356,8 @@ def encode_packed(packed):
     return xf, jnp.flip(emit_r, 0), jnp.flip(words_r, 0)
 
 
-def encode_packed_sparse(packed, chunk: int = 8, reorder: bool = True):
+def encode_packed_sparse(packed, chunk: int = 8, reorder: bool = True,
+                         return_nact: bool = False):
     """encode_packed skipping all-inactive rows — byte-identical output.
 
     reorder=False returns the emission grids in PARTITIONED row order
@@ -378,8 +379,12 @@ def encode_packed_sparse(packed, chunk: int = 8, reorder: bool = True):
     per-step loop overhead via chunking.
     """
     T, L = packed.shape
+    assert not (return_nact and reorder), (
+        "the active-prefix row count is only meaningful in partitioned "
+        "(reorder=False) order")
     if T == 0:
-        return encode_packed(packed)
+        base = encode_packed(packed)
+        return (*base, jnp.int32(0)) if return_nact else base
     act_row = jnp.any((packed & 1) == 1, axis=1)
     order = jnp.argsort(jnp.where(act_row, 0, 1), stable=True)
     rows_c = jnp.take(packed, order.astype(jnp.int32), axis=0)
@@ -422,6 +427,11 @@ def encode_packed_sparse(packed, chunk: int = 8, reorder: bool = True):
     xf, emit_c, words_c = jax.lax.fori_loop(
         0, n_iter, body, (x0, emit0, words0))
     if not reorder:
+        if return_nact:
+            # K = active-row count: with the stable partition, every row
+            # that can emit sits in the first K rows — the contract
+            # compact_words_prefix runs on
+            return xf, emit_c[:T], words_c[:T], K
         return xf, emit_c[:T], words_c[:T]
     inv = jnp.argsort(order, stable=True).astype(jnp.int32)
     emit = jnp.take(emit_c[:T], inv, axis=0)
@@ -594,6 +604,105 @@ def compact_words(emit, words, cap: int):
     out = out.at[blk].add(ext[:, :SEG], mode="drop")
     out = out.at[blk + 1].add(ext[:, SEG:], mode="drop")
     return out.reshape(-1)[:cap], jnp.sum(e.astype(jnp.int32))
+
+
+def compact_words_prefix(emit, words, cap: int, n_rows,
+                         chunk_seg: int = 256):
+    """compact_words for PARTITIONED emission grids (the reorder=False
+    output of encode_packed_sparse): every emitting slot lives in the
+    first `n_rows` rows, so the staged-roll and placement stages run in a
+    dynamic-trip-count loop over just the emitting prefix's 128-slot
+    segments — the R/D-killed worst-case grid is touched only by the
+    cheap per-segment count reduce and the packed-state build (one dense
+    elementwise pass). Byte-identical to compact_words on such grids.
+
+    At 4096^2 q20 (T=20624, L=2048, ~2% active rows) the dense
+    compact_words costs 47 ms on chip — 36 ms of staged rolls over the
+    330k-segment worst-case grid plus an 11 ms per-index scatter — while
+    the prefix walks ~27 chunks (VERDICT r5 #4: encoder-side sparse grid
+    build). Placement uses an exact one-hot f32 matmul per chunk (words
+    < 2^16 and spans are disjoint, so f32 accumulation is integer-exact)
+    into a read-modify-write output window instead of any scatter."""
+    e = emit.ravel()
+    w = jnp.where(e, words.ravel(), 0)
+    n = e.shape[0]
+    L = emit.shape[1] if emit.ndim == 2 else 1
+    SEG = 128
+    if n < SEG or n % SEG:
+        # small or ragged grids: the dense path is already cheap
+        return compact_words(emit, words, cap)
+    S = n // SEG
+    CS = min(chunk_seg, S)
+    e2 = e.reshape(S, SEG).astype(jnp.int32)
+    w2 = w.reshape(S, SEG)
+    k = jnp.sum(e2, axis=1)
+    base = jnp.cumsum(k) - k
+    rank = jnp.cumsum(e2, axis=1) - e2
+    j = jnp.arange(SEG, dtype=jnp.int32)
+    delta0 = jnp.where(e2 == 1, j[None, :] - rank, 0).astype(jnp.uint32)
+    st = (w2 << 9) | (delta0 << 1) | e2.astype(jnp.uint32)
+    # segments wholly past the emitting prefix never contribute
+    n_seg = jnp.minimum((n_rows * L + SEG - 1) // SEG, S)
+    n_iter = (n_seg + CS - 1) // CS
+    # pad so the last chunk's dynamic slices never clamp-shift
+    st_p = jnp.concatenate([st, jnp.zeros((CS, SEG), jnp.uint32)], axis=0)
+    base_p = jnp.concatenate([base, jnp.zeros((CS,), base.dtype)])
+    nblk = cap // SEG + 2
+    # output padded by a chunk's max block span so the RMW window of the
+    # final chunk stays in range (dynamic_slice clamping would otherwise
+    # silently shift the window)
+    out0 = jnp.zeros((nblk + CS + 2, SEG), jnp.float32)
+    rblk = jnp.arange(CS + 2, dtype=jnp.int32)
+
+    def body(i, out):
+        start = i * CS
+        stc = jax.lax.dynamic_slice(st_p, (start, 0), (CS, SEG))
+        basec = jax.lax.dynamic_slice(base_p, (start,), (CS,))
+
+        def shl(a, d):
+            return jnp.concatenate(
+                [a[:, d:], jnp.zeros((CS, d), a.dtype)], axis=1)
+
+        for kbit in range(0, 7, 2):
+            dig = jnp.where((stc & 1) == 1, (stc >> (1 + kbit)) & 3, 0)
+            moved = jnp.where(dig == 0, stc, 0)
+            for m in (1, 2, 3):
+                if (m << kbit) >= SEG:
+                    break
+                sh = shl(stc, m << kbit)
+                dig_s = jnp.where((sh & 1) == 1, (sh >> (1 + kbit)) & 3, 0)
+                inc = jnp.where(dig_s == m, sh - ((m << kbit) << 1), 0)
+                moved = moved | inc
+            stc = moved
+        wc = (stc >> 9).astype(jnp.uint16)
+        phi = (basec % SEG).astype(jnp.int32)
+        ext = jnp.concatenate([wc, jnp.zeros((CS, SEG), jnp.uint16)], axis=1)
+        for b in range(0, 7, 2):
+            dig = ((phi >> b) & 3)[:, None]
+            nxt = jnp.where(dig == 0, ext, 0)
+            for m in (1, 2, 3):
+                d = m << b
+                if d >= 2 * SEG:
+                    break
+                rolled = jnp.concatenate(
+                    [ext[:, -d:], ext[:, :-d]], axis=1)
+                nxt = nxt | jnp.where(dig == m, rolled, 0)
+            ext = nxt
+        blk0 = basec[0] // SEG
+        blk_local = (basec // SEG).astype(jnp.int32) - blk0
+        # one-hot placement: chunk segments span <= CS+2 output blocks
+        # (sum k <= CS*SEG). f32 matmul is exact: one word per position.
+        oh_lo = (blk_local[None, :] == rblk[:, None]).astype(jnp.float32)
+        oh_hi = (blk_local[None, :] == (rblk - 1)[:, None]).astype(
+            jnp.float32)
+        contrib = (oh_lo @ ext[:, :SEG].astype(jnp.float32)
+                   + oh_hi @ ext[:, SEG:].astype(jnp.float32))
+        win = jax.lax.dynamic_slice(out, (blk0, 0), (CS + 2, SEG))
+        return jax.lax.dynamic_update_slice(out, win + contrib, (blk0, 0))
+
+    out = jax.lax.fori_loop(0, n_iter, body, out0)
+    stream = out[:nblk].astype(jnp.uint16).reshape(-1)[:cap]
+    return stream, jnp.sum(k)
 
 
 def compact_by_mask(vals, mask, cap: int):

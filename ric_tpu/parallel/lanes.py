@@ -32,8 +32,12 @@ def build_lane_sharded_encode(cfg: CodecConfig, mesh, chroma: bool = False):
     plans, _ = image_codec.make_plane_plans(cfg, chroma)
     L = image_codec._lanes(cfg)
     image_codec._check_plane_size(cfg, plans, L)
-    sp = mesh.shape["sp"]
-    assert L % sp == 0, f"lane count {L} must divide over sp={sp}"
+    # L is rate-driven (image_codec._lanes) and may be smaller than the
+    # mesh axis (e.g. a small q9 plane takes L=4 over sp=8). GSPMD handles
+    # a non-divisible lane axis by padding shards, so no assert: the
+    # stream stays byte-identical to the single-device encoder either way
+    # (sharding changes WHERE lanes run, never any value) — surplus
+    # devices just hold padding. Verified by test_lanes.py at L<sp.
     capA = image_codec._cap_words_a(cfg)
     cap16 = image_codec._cap_words16(plans, L)
     image_tables = image_codec._use_image_tables(cfg)

@@ -1,13 +1,21 @@
-"""Persistent XLA compile-cache setup, fingerprinted by host CPU.
+"""Persistent XLA compile-cache setup, fingerprinted by host + toolchain.
 
 The cache stores XLA:CPU AOT results compiled for the features of the
 machine that wrote them. This build box changes between sessions; loading
-an entry whose instruction set is a superset of the current host's can
-SIGILL mid-run (observed as the round-3 suite abort inside
-backend_compile_and_load: "Machine type used for XLA:CPU compilation
-doesn't match the machine type for execution ... SIGILL"). Keying the
-cache directory by a hash of /proc/cpuinfo flags makes stale-host entries
-invisible instead of fatal; same-host reruns keep the full cache benefit.
+an entry whose instruction set or tuning features are a superset of the
+current host's can SIGILL mid-run (observed as the round-3 suite abort
+inside backend_compile_and_load: "Machine type used for XLA:CPU
+compilation doesn't match the machine type for execution ... SIGILL").
+
+Round-4 keyed the directory on /proc/cpuinfo *flags* only; that was not
+enough — XLA's target-feature string also includes microarchitecture
+tuning bits (+prefer-no-scatter/+prefer-no-gather) chosen from the CPU
+*model*, so two hosts with identical flag sets but different models still
+produced cpu_aot_loader mismatch errors (VERDICT r4 weak #5). The key now
+hashes the model name line, the flags line, and the jax/jaxlib versions
+(a jaxlib bump changes the embedded LLVM and its feature spelling).
+Stale-host or stale-toolchain entries become invisible instead of fatal;
+same-host reruns keep the full cache benefit.
 """
 from __future__ import annotations
 
@@ -23,12 +31,26 @@ _BASE = os.path.join(
 
 @functools.lru_cache(maxsize=1)
 def cache_dir() -> str:
+    ident = []
     try:
         with open("/proc/cpuinfo") as f:
-            flags = next(l for l in f if l.startswith(("flags", "Features")))
+            for line in f:
+                if line.startswith(("flags", "Features", "model name")):
+                    ident.append(line.strip())
+                if len(ident) == 2:
+                    break
     except Exception:
-        flags = platform.processor() or platform.machine()
-    tag = hashlib.sha256(flags.encode()).hexdigest()[:12]
+        pass
+    if not ident:
+        ident.append(platform.processor() or platform.machine())
+    try:
+        import jax
+        import jaxlib
+
+        ident.append(f"jax={jax.__version__} jaxlib={jaxlib.__version__}")
+    except Exception:
+        pass
+    tag = hashlib.sha256("\n".join(ident).encode()).hexdigest()[:12]
     return f"{_BASE}-{tag}"
 
 

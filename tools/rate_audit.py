@@ -59,7 +59,7 @@ def main():
             cfg = CodecConfig(
                 width=w, height=h, quant=q,
                 transform=Transform.CDF53 if q == 0 else Transform.CDF97)
-            data = ic.encode_image(img, cfg)
+            data = ic.encode_image(img, cfg, check=False)
             cfgr, streams, _, _, _, _ = read_container(data)
             L = ic._lanes(cfgr)
             lenA, lenB = len(streams[0]), len(streams[1])

@@ -33,7 +33,9 @@ TARGETS = (0.25, 0.5, 1.0, 2.0)
 def ours_point(img, q):
     h, w = img.shape
     cfg = CodecConfig(width=w, height=h, quant=q, transform=Transform.CDF97)
-    d = image_codec.encode_image(img, cfg)
+    # check=False: envelope-matched comparison (the reference's 9 B
+    # header ships no integrity; ref_point adds those 9 B symmetrically)
+    d = image_codec.encode_image(img, cfg, check=False)
     out = image_codec.decode_image(d)
     return len(d) * 8 / (w * h), psnr(out, img.astype(np.int32))
 

@@ -50,7 +50,7 @@ def coded_bands(img, cfg):
     plans, _ = ic.make_plane_plans(cfg, chroma=False)
     x = (jnp.asarray(img).astype(jnp.int32) - 128) << SHIFT
     pyr = lifting.dwt(x, Transform(cfg.transform), cfg.levels)
-    payload = ic._payload_from_pyramid(plans, pyr)
+    payload = ic._payload_from_pyramid(plans, pyr, recon=True)
     out = {}
     ll = None
     for pay in payload:
