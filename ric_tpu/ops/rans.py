@@ -624,7 +624,6 @@ def compact_words_prefix(emit, words, cap: int, n_rows,
     < 2^16 and spans are disjoint, so f32 accumulation is integer-exact)
     into a read-modify-write output window instead of any scatter."""
     e = emit.ravel()
-    w = jnp.where(e, words.ravel(), 0)
     n = e.shape[0]
     L = emit.shape[1] if emit.ndim == 2 else 1
     SEG = 128
@@ -633,31 +632,44 @@ def compact_words_prefix(emit, words, cap: int, n_rows,
         return compact_words(emit, words, cap)
     S = n // SEG
     CS = min(chunk_seg, S)
-    e2 = e.reshape(S, SEG).astype(jnp.int32)
-    w2 = w.reshape(S, SEG)
-    k = jnp.sum(e2, axis=1)
+    e2 = e.reshape(S, SEG)
+    w2 = words.ravel().reshape(S, SEG)
+    # the ONLY dense pass over the worst-case grid: per-segment emission
+    # counts (reads the bool grid once; the words grid is never read
+    # outside the prefix chunks below)
+    k = jnp.sum(e2.astype(jnp.int32), axis=1)
     base = jnp.cumsum(k) - k
-    rank = jnp.cumsum(e2, axis=1) - e2
-    j = jnp.arange(SEG, dtype=jnp.int32)
-    delta0 = jnp.where(e2 == 1, j[None, :] - rank, 0).astype(jnp.uint32)
-    st = (w2 << 9) | (delta0 << 1) | e2.astype(jnp.uint32)
     # segments wholly past the emitting prefix never contribute
     n_seg = jnp.minimum((n_rows * L + SEG - 1) // SEG, S)
     n_iter = (n_seg + CS - 1) // CS
-    # pad so the last chunk's dynamic slices never clamp-shift
-    st_p = jnp.concatenate([st, jnp.zeros((CS, SEG), jnp.uint32)], axis=0)
-    base_p = jnp.concatenate([base, jnp.zeros((CS,), base.dtype)])
+    j = jnp.arange(SEG, dtype=jnp.int32)
+    jc = jnp.arange(CS, dtype=jnp.int32)
     nblk = cap // SEG + 2
     # output padded by a chunk's max block span so the RMW window of the
     # final chunk stays in range (dynamic_slice clamping would otherwise
-    # silently shift the window)
-    out0 = jnp.zeros((nblk + CS + 2, SEG), jnp.float32)
+    # silently shift the window); u16 keeps the loop-carried buffer (and
+    # its zero-init/final passes) at half the f32 traffic
+    out0 = jnp.zeros((nblk + CS + 2, SEG), jnp.uint16)
     rblk = jnp.arange(CS + 2, dtype=jnp.int32)
 
     def body(i, out):
-        start = i * CS
-        stc = jax.lax.dynamic_slice(st_p, (start, 0), (CS, SEG))
-        basec = jax.lax.dynamic_slice(base_p, (start,), (CS,))
+        # clamp the last chunk's window instead of padding (padding would
+        # copy the full worst-case words grid); segments re-covered by the
+        # clamp were handled by the previous chunk, so mask them dead —
+        # their ext rows become zero and add nothing to the RMW window
+        # (which still spans <= CS+2 blocks: blk_local is measured from
+        # the window's own first segment)
+        start_req = i * CS
+        start = jnp.minimum(start_req, S - CS)
+        fresh = (jc >= start_req - start)[:, None]
+        ec = (jax.lax.dynamic_slice(e2, (start, 0), (CS, SEG))
+              & fresh).astype(jnp.int32)
+        wcr = jax.lax.dynamic_slice(w2, (start, 0), (CS, SEG))
+        basec = jax.lax.dynamic_slice(base, (start,), (CS,))
+        rank = jnp.cumsum(ec, axis=1) - ec
+        delta0 = jnp.where(ec == 1, j[None, :] - rank, 0).astype(jnp.uint32)
+        stc = ((jnp.where(ec == 1, wcr, 0) << 9) | (delta0 << 1)
+               | ec.astype(jnp.uint32))
 
         def shl(a, d):
             return jnp.concatenate(
@@ -696,12 +708,13 @@ def compact_words_prefix(emit, words, cap: int, n_rows,
         oh_hi = (blk_local[None, :] == (rblk - 1)[:, None]).astype(
             jnp.float32)
         contrib = (oh_lo @ ext[:, :SEG].astype(jnp.float32)
-                   + oh_hi @ ext[:, SEG:].astype(jnp.float32))
+                   + oh_hi @ ext[:, SEG:].astype(jnp.float32)
+                   ).astype(jnp.uint16)
         win = jax.lax.dynamic_slice(out, (blk0, 0), (CS + 2, SEG))
         return jax.lax.dynamic_update_slice(out, win + contrib, (blk0, 0))
 
     out = jax.lax.fori_loop(0, n_iter, body, out0)
-    stream = out[:nblk].astype(jnp.uint16).reshape(-1)[:cap]
+    stream = out[:nblk].reshape(-1)[:cap]
     return stream, jnp.sum(k)
 
 

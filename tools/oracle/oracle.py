@@ -116,6 +116,11 @@ class VideoOracle:
         # the decoder reads from buf[0] and reads ahead, so keep slack
         return stream[: n + 64].tobytes(), n, recon
 
+    def mv_bytes(self) -> int:
+        """MV-field bytes of the last encoded frame (0 for key frames) —
+        the reference side of the MV/residual rate split."""
+        return int(self._l.oracle_video_mv_bytes(ctypes.c_void_p(self._p)))
+
     def decode(self, stream: bytes):
         buf = np.frombuffer(stream, np.uint8)
         recon = np.empty((3, self.h, self.w), np.int16)

@@ -416,6 +416,10 @@ void shim_calc_sub(CImageBuffer &images, int index) {
 
 struct VOracle {
     int w, h, quant, key_count, mode;
+    // stream bytes consumed by the MV field coder of the last P frame
+    // (obmc.cpp:344-440 adaptive-Huffman MV coding) — the MV/residual
+    // split for video rate parity (getSize() is exact to mux buffering)
+    int last_mv_bytes = 0;
     CImageBuffer images;
     COBMC *obmc;
     CImage *predImage;
@@ -466,6 +470,7 @@ struct VOracle {
 
     // rududucodec.cpp:87-118
     int encode(const unsigned char *sgi, unsigned char *buf, CImage **out) {
+        last_mv_bytes = 0;  // key frames carry no MV field
         codec.initCoder(0, buf);
         images.insert(0);
         images[0][0]->inputSGI((unsigned char *)sgi, w, -128);
@@ -473,7 +478,9 @@ struct VOracle {
             COBME *obme = (COBME *)obmc;
             shim_calc_sub(images, 1);
             shim_epzs(obme, images);
+            unsigned int pre_mv = codec.getSize();
             shim_mv_code<true>(obme, &codec);
+            last_mv_bytes = (int)(codec.getSize() - pre_mv);
             obme->apply_mv(images, *predImage);
             *images[0][0] -= *predImage;
             encodeImage(images[0][0]);
@@ -539,6 +546,11 @@ int oracle_video_encode(void *p, const unsigned char *sgi, int w, int h,
     int n = c->encode(sgi, stream, &out);
     if (out && recon) copy_planes(out, w, h, recon);
     return n;
+}
+
+// MV-field bytes of the last encoded frame (0 for key frames).
+int oracle_video_mv_bytes(void *p) {
+    return ((VOracle *)p)->last_mv_bytes;
 }
 
 // Decode one frame; returns consumed byte size; recon as in encode.

@@ -93,6 +93,18 @@ def main():
         return rans.encode_packed_sparse(rows, reorder=False)
 
     @jax.jit
+    def through_scan_static(x):
+        # the exact pre-compaction prefix of `full` when image_tables is
+        # off (static dense tables, no hist): isolates the word-compaction
+        # + stream-assembly tail
+        pay = ic._plane_payload(cfg, plans, x)
+        rows = ic._encode_rows(
+            plans, pay, jax.tree_util.tree_map(jnp.asarray, tctx["dense"]),
+            L, packed)
+        return rans.encode_packed_sparse(rows, reorder=False,
+                                         return_nact=True)
+
+    @jax.jit
     def full(x):
         pay = ic._plane_payload(cfg, plans, x)
         return ic._payload_to_streams(
@@ -103,11 +115,16 @@ def main():
     t_tab = timeit(through_tables, x)
     t_rows = timeit(through_rows, x)
     t_scan = timeit(through_scan, x)
+    t_scan_s = timeit(through_scan_static, x) if not image_tables else None
     t_full = timeit(full, x)
     mp = N * N / 1e6
     print(f"L={L} rows={ic._plan_rows(plans, L)} image_tables={image_tables}")
-    for name, t in [("payload", t_pay), ("+tables", t_tab),
-                    ("+rows", t_rows), ("+scan", t_scan), ("full", t_full)]:
+    rows_list = [("payload", t_pay), ("+tables", t_tab),
+                 ("+rows", t_rows), ("+scan", t_scan)]
+    if t_scan_s is not None:
+        rows_list.append(("scan_sta", t_scan_s))
+    rows_list.append(("full", t_full))
+    for name, t in rows_list:
         print(f"{name:9s} {t*1e3:8.1f} ms  {mp/t:8.1f} Mpix/s")
 
 

@@ -97,3 +97,7 @@ print(f"full compact_words: {t_full*1e3:8.1f} ms")
 print(f"stages 1+2 only:    {t_12*1e3:8.1f} ms")
 print(f"=> stage 3 scatter: {(t_full-t_12)*1e3:8.1f} ms  "
       f"(S={T*L//128} segment rows)")
+
+pref = jax.jit(lambda e, w, k: rans.compact_words_prefix(e, w, CAP, k))
+t_pref = timeit(pref, emit_d, words_d, jnp.int32(K))
+print(f"prefix compact:     {t_pref*1e3:8.1f} ms  (K={K} rows)")

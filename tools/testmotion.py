@@ -95,9 +95,10 @@ def main():
 
     enc = VideoOracle(w, h, "encode", quant)
     dec = VideoOracle(w, h, "decode", quant)
-    ref_sizes, ref_psnrs = [], []
+    ref_sizes, ref_psnrs, ref_mvs = [], [], []
     for t in range(n):
         stream, sz, _ = enc.encode(frames[t])
+        ref_mvs.append(enc.mv_bytes())
         recon = dec.decode(stream)
         src = np.stack(image_codec.rgb_to_ycocg(
             frames[t].astype(np.int32), 4))
@@ -108,9 +109,9 @@ def main():
     enc.close()
     dec.close()
 
-    print("frame  type   ours(B)  [mv+res]       ref(B)   "
+    print("frame  type   ours(B)  [mv+res]       ref(B)  [mv]   "
           "ours Y/Cg/Co dB      ref Y/Cg/Co dB")
-    tot_o = tot_r = tot_mv = 0
+    tot_o = tot_r = tot_mv = tot_rmv = 0
     for t in range(n):
         src = np.stack(image_codec.rgb_to_ycocg(
             frames[t].astype(np.int32), 4))
@@ -122,15 +123,18 @@ def main():
         tot_o += tot
         tot_mv += mv
         tot_r += ref_sizes[t]
+        tot_rmv += ref_mvs[t]
         print(f"{t:4d} {'I' if t % video_codec.GOP_DEFAULT == 0 else 'P':>4}"
-              f" {tot:9d} [{mv:5d}+{res:7d}] {ref_sizes[t]:8d}   "
+              f" {tot:9d} [{mv:5d}+{res:7d}] {ref_sizes[t]:8d} "
+              f"[{ref_mvs[t]:5d}]   "
               f"{po[0]:5.2f}/{po[1]:5.2f}/{po[2]:5.2f}   "
               f"{pr[0]:5.2f}/{pr[1]:5.2f}/{pr[2]:5.2f}")
     npx = n * w * h
     print(f"total ours {tot_o} B ({tot_o * 8 / npx:.3f} bpp, "
           f"mv {tot_mv} B = {100 * tot_mv / max(tot_o, 1):.1f}%)  "
-          f"ref {tot_r} B ({tot_r * 8 / npx:.3f} bpp)  "
-          f"ratio {tot_o / max(tot_r, 1):.3f}")
+          f"ref {tot_r} B ({tot_r * 8 / npx:.3f} bpp, mv {tot_rmv} B)  "
+          f"ratio {tot_o / max(tot_r, 1):.3f}  "
+          f"mv ratio {tot_mv / max(tot_rmv, 1):.3f}")
 
 
 if __name__ == "__main__":
