@@ -331,4 +331,50 @@ void ric_dither_ed(const int32_t* plane, int h, int w, int shift,
     }
 }
 
+// ---------------------------------------------------------------------
+// MV-field median reconstruction (decode side of the video codec's MV
+// coding, models/video_codec.py). The coder ships median-predictor
+// residuals; reconstruction is a raster recurrence (each vector needs
+// its decoded left/up/upright neighbors), which is host-serial by
+// nature — MV grids are tiny (160x90 at 720p), so a tight loop here
+// costs microseconds. Prediction rule (ours; the reference's MV coder
+// at obmc.cpp:344-440 also predicts by neighbor median, with different
+// context/escape machinery): row 0 -> left; first/last column -> up;
+// interior -> median(left, up, upright). Intra blocks hold vector 0 in
+// the prediction field. dy/dx arrive as residuals and leave as absolute
+// vectors, in place.
+// ---------------------------------------------------------------------
+
+static inline int32_t med3(int32_t a, int32_t b, int32_t c) {
+    const int32_t lo = a < b ? a : b;
+    const int32_t hi = a < b ? b : a;
+    return c < lo ? lo : (c > hi ? hi : c);
+}
+
+void ric_mv_recon(int32_t* dy, int32_t* dx, const uint8_t* intra,
+                  int gy, int gx) {
+    for (int j = 0; j < gy; j++) {
+        for (int i = 0; i < gx; i++) {
+            const long p = (long)j * gx + i;
+            if (intra[p]) {
+                dy[p] = 0;
+                dx[p] = 0;
+                continue;
+            }
+            int32_t py = 0, px = 0;
+            if (j == 0) {
+                if (i) { py = dy[p - 1]; px = dx[p - 1]; }
+            } else if (i == 0 || i == gx - 1) {
+                py = dy[p - gx];
+                px = dx[p - gx];
+            } else {
+                py = med3(dy[p - 1], dy[p - gx], dy[p - gx + 1]);
+                px = med3(dx[p - 1], dx[p - gx], dx[p - gx + 1]);
+            }
+            dy[p] += py;
+            dx[p] += px;
+        }
+    }
+}
+
 }  // extern "C"

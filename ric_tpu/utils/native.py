@@ -142,3 +142,15 @@ def dither_ed(plane: np.ndarray, shift: int = 4) -> np.ndarray:
     out = np.empty((h, w), np.uint8)
     lib().ric_dither_ed(_ptr(p), h, w, shift, _ptr(out))
     return out
+
+
+def mv_recon(dy: np.ndarray, dx: np.ndarray, intra: np.ndarray):
+    """Median-predictor MV reconstruction (decode side): residual fields
+    (gy, gx) int32 -> absolute vectors, in place on copies. Raster
+    recurrence over a tiny grid — host-serial by nature."""
+    y = np.ascontiguousarray(dy, np.int32).copy()
+    x = np.ascontiguousarray(dx, np.int32).copy()
+    it = np.ascontiguousarray(intra, np.uint8)
+    gy, gx = y.shape
+    lib().ric_mv_recon(_ptr(y), _ptr(x), _ptr(it), gy, gx)
+    return y, x
